@@ -1,0 +1,216 @@
+"""ResUnet-a d6 multitask model — Flax, NHWC, TPU-first.
+
+Topology is a faithful re-derivation of the reference Keras graph
+(ResUnet_a/model2.py:14-193, surveyed in SURVEY.md §3.5):
+
+  stem 1x1 conv 32
+  encoder: ResBlock(32,[1,3,15,31]) -> s2 1x1 64  -> RB(64,[1,3,15,31])
+           -> s2 128 -> RB(128,[1,3,15]) -> s2 256 -> RB(256,[1,3,15])
+           -> s2 512 -> RB(512,[1])      -> s2 1024 -> RB(1024,[1])   (H/32)
+  mid:     PSPPooling(1024) + ReLU
+  decoder: 5 x { nearest-up x2 + 1x1 conv + BN -> combine(skip) -> ResBlock }
+           with up-filters 256,128,64,32,16 and RB filters 512,256,128,64,32
+  final:   combine(stem) -> PSPPooling(32) -> ReLU -> 4 heads
+           seg   : 3x3 relu conv 32 x2 -> 1x1 num_classes -> softmax   (from x_psp)
+           bound : 3x3 relu conv 32    -> 1x1 num_classes -> sigmoid   (from x_psp)
+           dist  : 3x3 relu conv 32 x2 -> 1x1 num_classes -> softmax   (from x_comb, pre-PSP)
+           color : 1x1 conv 3 -> sigmoid                               (from x_comb)
+
+Each ResBlock branch is pre-activation BN->ReLU->Conv(d)->BN->ReLU->Conv(d) and the
+block output is identity + SUM of all dilation branches (model2.py:27-31) — sum, not
+concat. PSP pool levels are gated on the BUILD-TIME input width (model2.py:49-52):
+width >= 256 -> pools {1,2,4,8}; >=128 -> {1,2,4}; else {1,2}.
+
+Keras-parity choices: glorot-uniform conv init, zero bias, BatchNorm(momentum=0.99,
+eps=1e-3). Compute dtype is configurable (bfloat16 recommended on TPU); params and
+BN statistics stay float32.
+"""
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+_conv_init = nn.initializers.glorot_uniform()
+
+
+class ConvBN(nn.Module):
+    """Conv2DN of the reference: conv (default 1x1) followed by BatchNorm."""
+    features: int
+    kernel: tuple = (1, 1)
+    strides: tuple = (1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel, strides=self.strides, padding="SAME",
+                    dtype=self.dtype, kernel_init=_conv_init)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                         dtype=self.dtype)(x)
+        return x
+
+
+class ResBlockA(nn.Module):
+    """Multi-dilation residual block: identity + sum of pre-activation branches."""
+    features: int
+    dilation_rates: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = x
+        for d in self.dilation_rates:
+            b = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype)(x)
+            b = nn.relu(b)
+            b = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d), padding="SAME",
+                        dtype=self.dtype, kernel_init=_conv_init)(b)
+            b = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype)(b)
+            b = nn.relu(b)
+            b = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d), padding="SAME",
+                        dtype=self.dtype, kernel_init=_conv_init)(b)
+            out = out + b
+        return out
+
+
+def _max_pool(x, k):
+    return nn.max_pool(x, window_shape=(k, k), strides=(k, k))
+
+
+def _upsample_nearest(x, k):
+    if k == 1:
+        return x
+    B, H, W, C = x.shape
+    x = jnp.repeat(x, k, axis=1)
+    x = jnp.repeat(x, k, axis=2)
+    return x
+
+
+class PSPPooling(nn.Module):
+    """Pyramid pooling (model2.py:41-79): max-pool at {1,2,4,8} (gated on build-time
+    image width), nearest upsample back, 1x1 ConvBN at nfilter/4 each, concat with
+    the input, and a final 1x1 ConvBN(nfilter)."""
+    features: int
+    img_width: int  # build-time INPUT image width (gates the pool levels)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        levels = [1, 2]
+        if self.img_width >= 128:
+            levels.append(4)
+        if self.img_width >= 256:
+            levels.append(8)
+        quarter = self.features // 4
+        pooled = []
+        for k in levels:
+            p = _upsample_nearest(_max_pool(x, k), k)
+            p = ConvBN(quarter, dtype=self.dtype)(p, train)
+            pooled.append(p)
+        x = jnp.concatenate(pooled + [x], axis=-1)
+        return ConvBN(self.features, dtype=self.dtype)(x, train)
+
+
+class Combine(nn.Module):
+    """Decoder/skip fusion (model2.py:81-87): relu(dec) ++ skip -> 1x1 conv -> BN."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dec, skip, train: bool = False):
+        x = jnp.concatenate([nn.relu(dec), skip], axis=-1)
+        return ConvBN(self.features, dtype=self.dtype)(x, train)
+
+
+class UpSampleConv(nn.Module):
+    """Nearest x2 -> 1x1 conv -> BN (model2.py:89-94)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBN(self.features, dtype=self.dtype)(_upsample_nearest(x, 2), train)
+
+
+class ResUnetA(nn.Module):
+    """ResUnet-a d6 with optional multitask heads. Input NHWC, any channel count
+    (3 for ISPRS RGB, 14 for Amazon two-year stacks)."""
+    num_classes: int
+    img_size: int = 256          # build-time width for PSP level gating
+    multitasking: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        x = x.astype(dt)
+
+        c1 = x = nn.Conv(32, (1, 1), dtype=dt, kernel_init=_conv_init)(x)
+        c2 = x = ResBlockA(32, [1, 3, 15, 31], dtype=dt)(x, train)
+        x = nn.Conv(64, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        c3 = x = ResBlockA(64, [1, 3, 15, 31], dtype=dt)(x, train)
+        x = nn.Conv(128, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        c4 = x = ResBlockA(128, [1, 3, 15], dtype=dt)(x, train)
+        x = nn.Conv(256, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        c5 = x = ResBlockA(256, [1, 3, 15], dtype=dt)(x, train)
+        x = nn.Conv(512, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        c6 = x = ResBlockA(512, [1], dtype=dt)(x, train)
+        x = nn.Conv(1024, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        x = ResBlockA(1024, [1], dtype=dt)(x, train)
+
+        x = PSPPooling(1024, self.img_size, dtype=dt)(x, train)
+        x = nn.relu(x)
+
+        # decoder: (up-filters, combine/RB filters, dilations, skip)
+        for up_f, f, dil, skip in (
+            (256, 512, [1], c6),
+            (128, 256, [1, 3, 15], c5),
+            (64, 128, [1, 3, 15], c4),
+            (32, 64, [1, 3, 15, 31], c3),
+            (16, 32, [1, 3, 15, 31], c2),
+        ):
+            x = UpSampleConv(up_f, dtype=dt)(x, train)
+            x = Combine(f, dtype=dt)(x, skip, train)
+            x = ResBlockA(f, dil, dtype=dt)(x, train)
+
+        x_comb = Combine(32, dtype=dt)(x, c1, train)
+        x_psp = PSPPooling(32, self.img_size, dtype=dt)(x_comb, train)
+        x_psp = nn.relu(x_psp)
+
+        if not self.multitasking:
+            logits = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                             kernel_init=_conv_init)(x_psp)
+            return nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        # Segmentation head (from x_psp)
+        s = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            kernel_init=_conv_init, name="seg1")(x_psp))
+        s = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            kernel_init=_conv_init, name="seg2")(s))
+        s = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init,
+                    name="seg3")(s)
+        out_seg = nn.softmax(s.astype(jnp.float32), axis=-1)
+
+        # Boundary head (from x_psp)
+        b = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            kernel_init=_conv_init)(x_psp))
+        b = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init)(b)
+        out_bound = nn.sigmoid(b.astype(jnp.float32))
+
+        # Distance head (from x_comb — pre-PSP, per model2.py:174)
+        d = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            kernel_init=_conv_init)(x_comb))
+        d = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            kernel_init=_conv_init)(d))
+        d = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init)(d)
+        out_dist = nn.softmax(d.astype(jnp.float32), axis=-1)
+
+        # Color head (from x_comb)
+        c = nn.Conv(3, (1, 1), dtype=dt, kernel_init=_conv_init)(x_comb)
+        out_color = nn.sigmoid(c.astype(jnp.float32))
+
+        return {"seg": out_seg, "bound": out_bound, "dist": out_dist,
+                "color": out_color}
