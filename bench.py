@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: multitask ResUnet-a d6 training throughput at 256px,
+patches/sec/chip, measured on the real device (BASELINE.json primary metric).
+
+The measured step is the FULL production train step: uint8 packed batch ->
+on-device augmentation + boundary/distance/HSV label generation -> forward/backward
+-> optimizer update, all one jitted XLA program (the reference's equivalent step is
+np.load of 5 float32 tensors + Keras train_on_batch, train_ISPRS.py:115-148).
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6;
+BASELINE.json "published" is empty). We anchor against an estimated 15 patches/s
+for the TF-Keras reference at batch 4 on a single modern GPU (42M-param dense
+256px model, train_on_batch + serial per-patch disk I/O on the critical path) —
+the BASELINE.json north star asks for >= 5x that.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_ESTIMATE_PATCHES_PER_SEC = 15.0
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from resuneta_tpu.models import ResUnetA
+    from resuneta_tpu.losses import make_losses
+    from resuneta_tpu.train import create_train_state, make_train_step
+    from resuneta_tpu.data import make_device_pipeline
+
+    ps = int(os.environ.get("BENCH_PATCH_SIZE", 256))
+    bs = int(os.environ.get("BENCH_BATCH_SIZE", 16))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
+        else jnp.float32
+    num_classes = 5
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}, ps={ps}, bs={bs}, dtype={dtype.__name__}")
+
+    model = ResUnetA(num_classes=num_classes, img_size=ps, multitasking=True,
+                     dtype=dtype)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, ps, ps, 3),
+                               "adam", 1e-4)
+    pipeline = make_device_pipeline(num_classes, norm_type=1, multitasking=True)
+    loss_fns = make_losses("tanimoto")
+    weights = {"seg": 1.0, "bound": 1.0, "dist": 1.0, "color": 1.0}
+    train_step = make_train_step(loss_fns, weights, multitasking=True,
+                                 preprocess=pipeline)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image_u8": jnp.asarray(
+            rng.integers(0, 256, (bs, ps, ps, 3), dtype=np.uint8)),
+        "label_ids": jnp.asarray(
+            rng.integers(0, num_classes, (bs, ps, ps)).astype(np.uint8)),
+        "aug": jnp.asarray(rng.integers(0, 5, bs).astype(np.int32)),
+    }
+
+    # warmup / compile
+    for _ in range(3):
+        state, row = train_step(state, batch)
+    np.asarray(row)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, row = train_step(state, batch)
+    np.asarray(row)  # block
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = bs * steps / dt
+    result = {
+        "metric": "train patches/sec/chip (256px multitask)",
+        "value": round(patches_per_sec, 2),
+        "unit": "patches/s",
+        "vs_baseline": round(patches_per_sec / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Amazon deforestation training CLI — the runnable, repaired equivalent of
+amazon_py/main.py (whose committed form mixes working and stale code; SURVEY.md §2).
+
+Flow (amazon_py/main.py:8-169): load two 7-band year rasters (npy, CHW) -> concat
+to 14 channels -> whole-image normalization -> 3-class mask with buffer-2 dilation
+(mask_no_considered) -> 15-tile grid with hand-picked train/val ids -> per-tile
+patch extraction + >=percent% deforestation balance filter + x5 augmentation ->
+weighted-CE training (weights [0.5, 0.5, 0]) with early stopping + best checkpoint
+-> whole-scene prediction with area opening + masking -> metrics + alarm area.
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..utils.cli import str2bool, setup_platform
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_path", type=str, default="./DATASETS/Amazon_npy")
+    parser.add_argument("--image_t1", type=str, default="clipped_raster_004_66_2018.npy")
+    parser.add_argument("--image_t2", type=str, default="clipped_raster_004_66_2019.npy")
+    parser.add_argument("--reference", type=str,
+                        default="labels/binary_clipped_2019.npy")
+    parser.add_argument("--past_reference", type=str, nargs="*",
+                        default=["labels/binary_clipped_2013_2018.npy",
+                                 "labels/binary_clipped_1988_2012.npy"])
+    parser.add_argument("--resunet_a", type=str2bool, default=False)
+    parser.add_argument("--multitasking", type=str2bool, default=False)
+    parser.add_argument("-rp", "--results_path", type=str, default="./results/amazon_run1")
+    parser.add_argument("-bs", "--batch_size", type=int, default=8)
+    parser.add_argument("-lr", "--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("-ps", "--patch_size", type=int, default=128)
+    parser.add_argument("--stride", type=int, default=None,
+                        help="default: patch_size // 8 (main.py:78)")
+    parser.add_argument("--percent", type=float, default=5.0,
+                        help="min %% deforestation per kept patch")
+    parser.add_argument("--buffer", type=int, default=2)
+    parser.add_argument("--area", type=int, default=11,
+                        help="area-opening threshold at eval (main.py:143)")
+    parser.add_argument("--num_classes", type=int, default=3)
+    parser.add_argument("--train_tiles", type=int, nargs="*", default=[1, 6, 7, 13])
+    parser.add_argument("--val_tiles", type=int, nargs="*", default=[5, 12])
+    parser.add_argument("--test_tiles", type=int, nargs="*",
+                        default=[2, 3, 4, 8, 9, 10, 11, 14, 15])
+    parser.add_argument("--norm_type", type=int, default=1, choices=[1, 2, 3],
+                        help="whole-image normalization (utils.py:242-253 numbering)")
+    parser.add_argument("--class_weights", type=float, nargs="*", default=[0.5, 0.5, 0.0])
+    parser.add_argument("--gpu_parallel", type=str2bool, default=False)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--skip_eval", type=str2bool, default=False)
+    return parser
+
+
+def load_amazon_scene(args):
+    """Load + concat rasters, build the 3-class final mask and tile grid."""
+    import jax.numpy as jnp
+    from ..data.isprs import load_npy_image
+    from ..ops.normalize import normalization
+    from ..ops.morphology import mask_no_considered
+    from ..data.amazon import make_tile_mask
+
+    root = args.dataset_path
+    img_t1 = load_npy_image(os.path.join(root, args.image_t1)).astype(np.float32)
+    img_t2 = load_npy_image(os.path.join(root, args.image_t2)).astype(np.float32)
+    if img_t1.ndim == 3 and img_t1.shape[0] < img_t1.shape[-1]:
+        img_t1 = img_t1.transpose((1, 2, 0))
+        img_t2 = img_t2.transpose((1, 2, 0))
+    image_array = np.concatenate((img_t1, img_t2), axis=-1).astype(np.float32)
+    image_array = np.asarray(normalization(jnp.asarray(image_array), args.norm_type))
+
+    image_ref = load_npy_image(os.path.join(root, args.reference))
+    past = None
+    for p in args.past_reference:
+        arr = load_npy_image(os.path.join(root, p))
+        past = arr if past is None else past + arr
+    if past is None:
+        past = np.zeros_like(image_ref)
+
+    H = min(image_array.shape[0], image_ref.shape[0], past.shape[0])
+    W = min(image_array.shape[1], image_ref.shape[1], past.shape[1])
+    image_array, image_ref, past = (
+        image_array[:H, :W], image_ref[:H, :W], past[:H, :W])
+
+    final_mask = mask_no_considered(image_ref, args.buffer, past)
+    mask_tiles = make_tile_mask(H, W)
+    return image_array, image_ref, final_mask, mask_tiles
+
+
+def main(argv=None):
+    setup_platform()
+    args = build_parser().parse_args(argv)
+    stride = args.stride or args.patch_size // 8
+
+    import jax
+    from ..models import ResUnetA, UNet
+    from ..losses import weighted_categorical_crossentropy
+    from ..train import (create_train_state, make_train_step, make_eval_step,
+                         train_model, TrainConfig)
+    from ..data import ArrayDataset
+    from ..data.amazon import patch_tiles, bal_aug_patches
+    from ..parallel import make_mesh
+    from ..metrics import compute_metrics, confusion_matrix
+    from ..infer.amazon import prediction
+
+    image_array, image_ref, final_mask, mask_tiles = load_amazon_scene(args)
+    H, W, channels = image_array.shape
+    print(f"Input image shape: {image_array.shape}")
+
+    def build_split(tiles):
+        p, r = patch_tiles(tiles, mask_tiles, image_array, final_mask,
+                           args.patch_size, stride)
+        p, r = bal_aug_patches(args.percent, args.patch_size, p, r)
+        onehot = np.eye(args.num_classes, dtype=np.float32)[r.astype(np.int64)]
+        return ArrayDataset({"image": p.astype(np.float32), "seg": onehot})
+
+    train_ds = build_split(args.train_tiles)
+    val_ds = build_split(args.val_tiles)
+    print(f"Training patches: {len(train_ds)}  Validation patches: {len(val_ds)}")
+
+    if args.resunet_a:
+        model = ResUnetA(num_classes=args.num_classes, img_size=args.patch_size,
+                         multitasking=False)
+    else:
+        model = UNet(num_classes=args.num_classes)
+    state = create_train_state(
+        model, jax.random.PRNGKey(args.seed),
+        (args.batch_size, args.patch_size, args.patch_size, channels),
+        "adam", args.learning_rate)
+
+    wce = weighted_categorical_crossentropy(args.class_weights)
+    loss_fns = {"seg": wce}
+    train_step = make_train_step(loss_fns, {}, multitasking=False)
+    eval_step = make_eval_step(loss_fns, {}, multitasking=False)
+
+    mesh = make_mesh() if args.gpu_parallel and jax.device_count() > 1 else None
+
+    config = TrainConfig(results_path=args.results_path,
+                         batch_size=args.batch_size, epochs=args.epochs,
+                         multitasking=False, patience=10, delta=1e-4,
+                         seed=args.seed)
+    t0 = time.time()
+    state, history = train_model(config, state, train_step, eval_step,
+                                 train_ds, val_ds, mesh=mesh)
+    train_time = time.time() - t0
+    print("training time", train_time)
+
+    if args.skip_eval:
+        return state, history
+
+    # ---------- whole-scene evaluation on the test tiles ----------
+    mask_ts = np.zeros_like(mask_tiles, np.float32)
+    for t in args.test_tiles:
+        mask_ts[mask_tiles == t] = 1
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    (ref_final, pre_final, prob_rec, ref_rec, ref_clip, clip_mask,
+     time_ts) = prediction(apply_fn, image_array, image_ref, final_mask,
+                           mask_ts, args.patch_size, args.area, mesh=mesh)
+
+    cm = confusion_matrix(ref_final, pre_final)
+    metrics = compute_metrics(ref_final, pre_final)
+    print("Confusion  matrix \n", cm)
+    print("Accuracy: ", metrics[0])
+    print("F1score: ", metrics[1])
+    print("Recall: ", metrics[2])
+    print("Precision: ", metrics[3])
+    if cm.shape[0] > 1:
+        total = (cm[1, 1] + cm[0, 1]) / len(ref_final) * 100
+        print("Area to be analyzed", total)
+    print("test time", time_ts)
+
+    np.save(os.path.join(args.results_path, "prob_reconstructed.npy"), prob_rec)
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from .dataset import (
+    PackedDataset,
+    LegacyPatchDataset,
+    ArrayDataset,
+    write_packed_dataset,
+)
+from .pipeline import make_device_pipeline
+
+__all__ = [
+    "PackedDataset",
+    "LegacyPatchDataset",
+    "ArrayDataset",
+    "write_packed_dataset",
+    "make_device_pipeline",
+]

@@ -1,0 +1,152 @@
+"""Datasets.
+
+The reference's input pipeline is a directory of one .npy file per patch per label
+head, loaded serially with np.load on the training critical path
+(train_ISPRS.py:122-146; ~5.5 MB of float32 per multitask sample). The TPU-native
+replacement is a PACKED dataset: one uint8 image array + one uint8 class-id array,
+memory-mapped, with augmentation and all four label heads derived on-device inside
+the jitted train step (data/pipeline.py). A multitask sample costs ~260 KB of host
+I/O instead of ~5.5 MB, and the disk format is independent of norm_type /
+augmentation / label heads.
+
+LegacyPatchDataset still reads the reference's file-per-patch tree (the train CLI
+auto-detects the layout), with a thread-pool prefetcher instead of serial np.load.
+"""
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+MANIFEST = "manifest.json"
+AUG_FACTOR = 5  # the reference's exactly-5 augmentation variants
+
+
+def write_packed_dataset(out_dir, images_u8, label_ids_u8, num_classes,
+                         norm_type=1, data_aug=True, extra_meta=None):
+    """Write the packed format: images.npy (N,P,P,C) u8, labels.npy (N,P,P) u8."""
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "images.npy"), np.ascontiguousarray(images_u8))
+    np.save(os.path.join(out_dir, "labels.npy"), np.ascontiguousarray(label_ids_u8))
+    meta = {
+        "format": "packed-v1",
+        "num_patches": int(images_u8.shape[0]),
+        "patch_size": int(images_u8.shape[1]),
+        "channels": int(images_u8.shape[3]),
+        "num_classes": int(num_classes),
+        "norm_type": int(norm_type),
+        "data_aug": bool(data_aug),
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def is_packed(path):
+    return os.path.exists(os.path.join(path, MANIFEST))
+
+
+class PackedDataset:
+    """Memory-mapped packed patches. Logical length = N * 5 when data_aug (sample k
+    maps to patch k//5, augmentation variant k%5 — same ids as the reference's
+    patch_{i*5+j}.npy naming, preprocess_save_patches_ISPRS.py:203-228)."""
+
+    def __init__(self, root, indices=None):
+        with open(os.path.join(root, MANIFEST)) as f:
+            self.meta = json.load(f)
+        self.images = np.load(os.path.join(root, "images.npy"), mmap_mode="r")
+        self.labels = np.load(os.path.join(root, "labels.npy"), mmap_mode="r")
+        self.aug = self.meta.get("data_aug", True)
+        n_logical = self.meta["num_patches"] * (AUG_FACTOR if self.aug else 1)
+        self.indices = np.arange(n_logical) if indices is None else np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def subset(self, idx):
+        return PackedDataset.__wrap__(self, self.indices[idx])
+
+    @classmethod
+    def __wrap__(cls, parent, indices):
+        obj = cls.__new__(cls)
+        obj.meta = parent.meta
+        obj.images = parent.images
+        obj.labels = parent.labels
+        obj.aug = parent.aug
+        obj.indices = indices
+        return obj
+
+    def get_batch(self, positions):
+        """positions: indices into this dataset view. Returns the RAW device-pipeline
+        batch: uint8 images, uint8 label ids, int32 augmentation variants."""
+        sample_ids = self.indices[positions]
+        if self.aug:
+            patch_ids = sample_ids // AUG_FACTOR
+            variants = (sample_ids % AUG_FACTOR).astype(np.int32)
+        else:
+            patch_ids = sample_ids
+            variants = np.zeros(len(sample_ids), np.int32)
+        return {
+            "image_u8": np.ascontiguousarray(self.images[patch_ids]),
+            "label_ids": np.ascontiguousarray(self.labels[patch_ids]),
+            "aug": variants,
+        }
+
+
+class ArrayDataset:
+    """In-memory batch source over a dict of equally-sized leading-axis arrays
+    (the Keras model.fit(x, y) analog used by the Amazon scripts)."""
+
+    def __init__(self, arrays):
+        self.arrays = arrays
+        n = {len(v) for v in arrays.values()}
+        assert len(n) == 1, "all arrays must share the leading dimension"
+        self._len = n.pop()
+
+    def __len__(self):
+        return self._len
+
+    def subset(self, idx):
+        return ArrayDataset({k: v[idx] for k, v in self.arrays.items()})
+
+    def get_batch(self, positions):
+        return {k: np.ascontiguousarray(v[positions]) for k, v in self.arrays.items()}
+
+
+class LegacyPatchDataset:
+    """The reference's file-per-patch directory tree: train/ labels/{seg,bound,dist,
+    color}/ with patch_{k}.npy files (train_ISPRS.py:354-374). Batches are float32
+    and already normalized / label-generated on disk; the device pipeline is a
+    pass-through. A thread pool overlaps the np.load calls."""
+
+    def __init__(self, root, multitasking=True, paths=None, workers=8):
+        self.multitasking = multitasking
+        if paths is None:
+            train_dir = os.path.join(root, "train")
+            names = sorted(os.listdir(train_dir))
+            heads = ["seg", "bound", "dist", "color"] if multitasking else ["seg"]
+            paths = {
+                "image": [os.path.join(train_dir, n) for n in names],
+            }
+            for h in heads:
+                paths[h] = [os.path.join(root, "labels", h, n) for n in names]
+        self.paths = paths
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+
+    def __len__(self):
+        return len(self.paths["image"])
+
+    def subset(self, idx):
+        sub = {k: [v[i] for i in idx] for k, v in self.paths.items()}
+        return LegacyPatchDataset(None, self.multitasking, paths=sub)
+
+    def get_batch(self, positions):
+        out = {}
+        for key, plist in self.paths.items():
+            files = [plist[i] for i in positions]
+            arrays = list(self.pool.map(np.load, files))
+            out[key] = np.stack(arrays).astype(np.float32)
+        return out

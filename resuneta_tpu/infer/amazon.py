@@ -1,0 +1,87 @@
+"""Amazon whole-scene evaluation: the prediction() post-processing chain of
+utils.py:505-546 — column-major non-overlap chop, batched jitted forward, class-1
+probability map, reconstruction, area opening (drop blobs < area_threshold px),
+past-deforestation/border masking, and the considered-pixel flattening — plus the
+TP/FP/FN color map (utils.py:549-563)."""
+
+import time
+
+import numpy as np
+
+from ..ops.patches import extract_patches_nonoverlap, reconstruct_from_patches
+from ..ops.morphology import area_opening
+from .sliding import predict_patches
+
+
+def prediction(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
+               patch_size, area, batch_size=32, mesh=None):
+    """Returns (ref_final, pre_final, prob_reconstructed, ref_reconstructed,
+    ref_clip, clipping_mask, test_time) — the tuple of utils.py:505-546."""
+    H, W = image_ref.shape
+
+    patch_ts = extract_patches_nonoverlap(image_array, patch_size, order="col")
+    patches_lb = extract_patches_nonoverlap(image_ref, patch_size, order="col")
+    clipping_ref = extract_patches_nonoverlap(final_mask, patch_size, order="col")
+
+    start_test = time.time()
+    preds = predict_patches(apply_fn, patch_ts.astype(np.float32),
+                            batch_size=batch_size, mesh=mesh)
+    seg = preds["seg"] if isinstance(preds, dict) else preds
+    p_labels = np.argmax(seg, axis=-1)
+    probs = seg[..., 1]
+    end_test = time.time() - start_test
+
+    ref_reconstructed = reconstruct_from_patches(patches_lb, H, W, order="col")
+    img_reconstructed = reconstruct_from_patches(p_labels, H, W, order="col")
+    prob_reconstructed = reconstruct_from_patches(probs, H, W, order="col")
+    ref_clip = reconstruct_from_patches(clipping_ref, H, W, order="col")
+
+    clipping_mask_p = extract_patches_nonoverlap(mask_amazon_ts, patch_size,
+                                                 order="col")
+    clipping_mask = reconstruct_from_patches(clipping_mask_p, H, W, order="col")
+
+    # Exclude predicted deforestation blobs smaller than `area` pixels
+    mask_areas_pred = np.ones_like(ref_reconstructed)
+    area_kept = area_opening(img_reconstructed.astype(np.int32),
+                             area_threshold=area, connectivity=1)
+    area_no_consider = img_reconstructed - area_kept
+    mask_areas_pred[area_no_consider == 1] = 0
+
+    # Mask out past deforestation (class 2) regions
+    mask_borders = np.ones_like(img_reconstructed)
+    mask_borders[ref_clip == 2] = 0
+
+    mask_no_consider = mask_areas_pred * mask_borders
+    ref_consider = mask_no_consider * ref_clip
+    pred_consider = mask_no_consider * img_reconstructed
+
+    sel = clipping_mask * mask_no_consider == 1
+    ref_final = ref_consider[sel]
+    pre_final = pred_consider[sel]
+
+    return (ref_final, pre_final, prob_reconstructed, ref_reconstructed,
+            ref_clip, clipping_mask, end_test)
+
+
+def color_map(prob_map, ref_reconstructed, mask_no_considered, clipping_mask, th):
+    """utils.py:549-563: threshold the probability map and paint TP=1 / FP=2 /
+    FN=3 / past-reference=4 classes (0 elsewhere / outside the clip mask)."""
+    reconstructed = (prob_map >= th).astype(np.float32)
+    true_positives = reconstructed * ref_reconstructed
+    diff_image = reconstructed - ref_reconstructed
+    output_map = np.zeros(ref_reconstructed.shape, np.float32)
+    output_map[true_positives == 1] = 1
+    output_map[diff_image == 1] = 2
+    output_map[diff_image == -1] = 3
+    output_map[mask_no_considered == 2] = 4
+    output_map[clipping_mask == 0] = 0
+    return output_map
+
+
+def rgb_image(class_map):
+    """utils.py:264-284 RGB_image: TN white, TP yellow, FP red, FN blue,
+    past-reference green."""
+    palette = np.array([
+        [255, 255, 255], [255, 255, 0], [255, 0, 0], [0, 0, 255], [0, 255, 0],
+    ], np.float32)
+    return palette[np.asarray(class_map).astype(np.int64)]

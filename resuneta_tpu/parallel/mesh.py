@@ -1,0 +1,48 @@
+"""Device mesh + GSPMD shardings — the replacement for the reference's
+tf.distribute.MirroredStrategy / NCCL layer (train_ISPRS.py:347-348, SURVEY.md §2.3).
+
+The framework exposes exactly one parallelism knob: a Mesh with a 'data' axis
+(optionally a 'space' axis for spatial sharding of very large inputs). Everything
+else — gradient all-reduce, sync-BN batch statistics, sharded patch-grid
+inference — falls out of GSPMD partitioning of the single jitted program; no
+user-visible collectives, mirroring how MirroredStrategy hid NCCL.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis_name="data", devices=None):
+    """1-D data-parallel mesh over the first n_devices (default: all)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name="data"):
+    """Sharding for a batch-leading array: shard dim 0 over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh):
+    """Fully-replicated sharding (for params / optimizer state / scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """Place a (possibly nested) batch onto the mesh, sharded along dim 0.
+    The global batch size must be divisible by the mesh axis size."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate_state(state, mesh):
+    """Replicate a TrainState (or any pytree) across the mesh."""
+    sharding = replicate(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, state
+    )

@@ -1,0 +1,124 @@
+"""Amazon workload tests: tile grid, balanced extraction, class weights, the
+prediction() post-processing chain, color map, and threshold sweep."""
+
+import numpy as np
+import pytest
+
+from resuneta_tpu.data.amazon import (
+    make_tile_mask, tile_bbox, patch_tiles, patch_tiles2, bal_aug_patches,
+    class_weights_from_counts, data_augmentation,
+)
+from resuneta_tpu.infer.amazon import prediction, color_map, rgb_image
+from resuneta_tpu.metrics import matrics_AA_recall
+from resuneta_tpu.ops.morphology import mask_no_considered
+
+
+class TestTiles:
+    def test_tile_mask_15(self):
+        m = make_tile_mask(100, 60)
+        assert m.shape == (100, 60)
+        assert set(np.unique(m)) == set(range(1, 16))
+        # row-major ids like the reference concatenations (main.py:43-49)
+        assert m[0, 0] == 1 and m[0, 59] == 3 and m[99, 0] == 13 and m[99, 59] == 15
+
+    def test_patch_tiles_extracts_from_bbox(self):
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((100, 60, 4)).astype(np.float32)
+        ref = rng.integers(0, 2, (100, 60)).astype(np.int32)
+        m = make_tile_mask(100, 60)
+        p, r = patch_tiles([1, 5], m, img, ref, patch_size=16, stride=16)
+        assert p.shape[1:] == (16, 16, 4)
+        assert len(p) == len(r) > 0
+
+    def test_patch_tiles2_filters(self):
+        img = np.zeros((40, 24, 2), np.float32)
+        ref = np.zeros((40, 24), np.int32)
+        ref[0:8, 0:8] = 1  # tile 1 has deforestation
+        valid = np.full((40, 24), -1.0)
+        m = make_tile_mask(40, 24)
+        p, r = patch_tiles2([1, 2], m, img, ref, valid, 8, 8, percent=5)
+        assert len(p) >= 1
+        assert all(np.mean(x == 1) >= 0.05 for x in r)
+        # invalid mask drops everything
+        p2, r2 = patch_tiles2([1], m, img, ref, np.zeros_like(valid), 8, 8, 5)
+        assert len(p2) == 0
+
+
+class TestBalance:
+    def test_bal_aug_patches(self):
+        rng = np.random.default_rng(0)
+        imgs = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+        refs = np.zeros((4, 16, 16), np.int32)
+        refs[0, :8] = 1          # 50% class 1 -> kept
+        refs[1, 0, 0] = 1        # ~0.4% -> dropped at 5%
+        p, r = bal_aug_patches(5, 16, imgs, refs)
+        assert len(p) == 5  # one survivor x5 variants
+        np.testing.assert_array_equal(r[1], np.rot90(refs[0], 1))
+
+    def test_class_weights(self):
+        ref = np.zeros((10, 10), np.int64)
+        ref[0, :5] = 1
+        ref[1, :2] = 2
+        w = class_weights_from_counts(ref)
+        total = 100
+        np.testing.assert_allclose(w[0], total / 93)
+        np.testing.assert_allclose(w[1], total / 5)
+        assert w[2] == 0.0
+
+
+class TestPrediction:
+    def test_prediction_chain(self):
+        # fake apply_fn: class 1 where channel-0 input > 0
+        def apply_fn(x):
+            p1 = (np.asarray(x)[..., 0] > 0).astype(np.float32)
+            return np.stack([1 - p1, p1, np.zeros_like(p1)], axis=-1)
+
+        H = W = 32
+        img = np.zeros((H, W, 2), np.float32)
+        img[0:16, 0:16, 0] = 1.0      # predicted deforestation block (256 px)
+        img[20:22, 20:22, 0] = 1.0    # small blob (4 px) -> removed by area opening
+        ref = np.zeros((H, W))
+        ref[0:16, 0:16] = 1
+        final_mask = ref.copy()
+        mask_ts = np.ones((H, W))
+
+        (ref_final, pre_final, prob, ref_rec, ref_clip, clip_mask, _t) = prediction(
+            apply_fn, img, ref, final_mask, mask_ts, patch_size=16, area=11,
+            batch_size=4)
+        assert prob.shape == (H, W)
+        # the small blob is masked out of the considered set
+        assert set(np.unique(pre_final)) <= {0.0, 1.0}
+        sel_count = len(pre_final)
+        assert sel_count == H * W - 4  # only the 4 area-opened pixels excluded
+        # perfect prediction on considered pixels
+        np.testing.assert_array_equal(ref_final, pre_final)
+
+    def test_color_map_classes(self):
+        prob = np.array([[0.9, 0.1], [0.8, 0.2]])
+        ref = np.array([[1.0, 0.0], [0.0, 1.0]])
+        out = color_map(prob, ref, np.zeros_like(ref), np.ones_like(ref), th=0.5)
+        assert out[0, 0] == 1  # TP
+        assert out[1, 0] == 2  # FP
+        assert out[1, 1] == 3  # FN
+        rgb = rgb_image(out)
+        assert rgb.shape == (2, 2, 3)
+
+    def test_threshold_sweep(self):
+        prob = np.linspace(0, 1, 100).reshape(10, 10)
+        ref = (prob > 0.5).astype(np.int64)
+        mask = np.ones_like(ref)
+        rec, prec, aa = matrics_AA_recall([0.25, 0.5, 0.75], prob, ref, mask)
+        assert rec[0] == 100.0          # low threshold catches everything
+        assert prec[2] == 100.0         # high threshold is precise
+        assert aa[0] > aa[2]
+
+
+class TestMaskNoConsidered:
+    def test_augmentation_variants_match_reference(self):
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((8, 8, 2)).astype(np.float32)
+        lbl = rng.integers(0, 3, (8, 8)).astype(np.float32)
+        a_img, a_lbl = data_augmentation(img, lbl)
+        assert a_img.shape[0] == 5
+        np.testing.assert_array_equal(a_img[2], np.rot90(img, 2))
+        np.testing.assert_array_equal(a_lbl[3], np.flip(lbl, 0))

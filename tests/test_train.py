@@ -1,0 +1,150 @@
+"""Training runtime tests: jitted steps, packed on-device pipeline, mesh data
+parallelism on the virtual 8-device CPU mesh, checkpoint/resume, epoch loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from resuneta_tpu.models import ResUnetA, UNet
+from resuneta_tpu.losses import make_losses
+from resuneta_tpu.train import (
+    TrainState, create_train_state, make_train_step, make_eval_step,
+    METRICS_MULTITASK, METRICS_SINGLE, train_model, TrainConfig, checkpoint,
+)
+from resuneta_tpu.data import PackedDataset, make_device_pipeline
+from resuneta_tpu.parallel import make_mesh, shard_batch
+
+from util_synth import make_packed, synth_patches
+
+
+def _unet_state(ps=32, num_classes=3, lr=1e-3):
+    model = UNet(num_classes=num_classes, base_filters=8)
+    return model, create_train_state(
+        model, jax.random.PRNGKey(0), (1, ps, ps, 3), "adam", lr
+    )
+
+
+def _synth_float_batch(bs=4, ps=32, c=3, nc=3, seed=0):
+    rng = np.random.default_rng(seed)
+    img, ids = synth_patches(bs, ps, c, nc, seed)
+    return {
+        "image": img.astype(np.float32) / 255.0,
+        "seg": np.eye(nc, dtype=np.float32)[ids],
+    }
+
+
+class TestSteps:
+    def test_loss_decreases_single_task(self):
+        model, state = _unet_state()
+        losses = make_losses("cross_entropy")
+        step = make_train_step(losses, {}, multitasking=False)
+        batch = _synth_float_batch()
+        first = None
+        for i in range(12):
+            state, row = step(state, batch)
+            if first is None:
+                first = float(row[0])
+        assert float(row[0]) < first, "loss did not decrease"
+        assert row.shape[0] == len(METRICS_SINGLE)
+
+    def test_multitask_step_with_packed_pipeline(self, tmp_path):
+        root = make_packed(tmp_path, n=4, ps=64, num_classes=5)
+        ds = PackedDataset(root)
+        model = ResUnetA(num_classes=5, img_size=64, multitasking=True)
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+        pipe = make_device_pipeline(5, norm_type=1, multitasking=True)
+        losses = make_losses("tanimoto")
+        weights = {"seg": 1.0, "bound": 1.0, "dist": 1.0, "color": 1.0}
+        step = make_train_step(losses, weights, multitasking=True, preprocess=pipe)
+        raw = ds.get_batch(np.arange(2))
+        state, row = step(state, raw)
+        row = np.asarray(row)
+        assert row.shape[0] == len(METRICS_MULTITASK)
+        assert np.all(np.isfinite(row))
+        # total = seg + bound + dist + color for unit weights
+        np.testing.assert_allclose(row[0], row[1:5].sum(), rtol=1e-5)
+
+    def test_eval_step_runs(self):
+        model, state = _unet_state()
+        losses = make_losses("cross_entropy")
+        estep = make_eval_step(losses, {}, multitasking=False)
+        row = np.asarray(estep(state, _synth_float_batch()))
+        assert row.shape[0] == len(METRICS_SINGLE)
+        assert np.all(np.isfinite(row))
+
+
+class TestMesh:
+    def test_eight_device_data_parallel(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        mesh = make_mesh(8)
+        model, state = _unet_state()
+        losses = make_losses("cross_entropy")
+        step = make_train_step(losses, {}, multitasking=False, donate=False)
+        batch = _synth_float_batch(bs=8)
+        sharded = shard_batch(batch, mesh)
+        state2, row = step(state, sharded)
+        assert np.all(np.isfinite(np.asarray(row)))
+
+    def test_sharded_matches_single_device(self):
+        mesh = make_mesh(8)
+        model, state = _unet_state()
+        losses = make_losses("cross_entropy")
+        step = make_train_step(losses, {}, multitasking=False, donate=False)
+        batch = _synth_float_batch(bs=8)
+        _, row_single = step(state, batch)
+        _, row_sharded = step(state, shard_batch(batch, mesh))
+        # GSPMD sync-BN + global-batch loss => same numerics either way
+        np.testing.assert_allclose(
+            np.asarray(row_single), np.asarray(row_sharded), rtol=2e-4, atol=1e-5
+        )
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        model, state = _unet_state()
+        losses = make_losses("cross_entropy")
+        step = make_train_step(losses, {}, multitasking=False)
+        state, _ = step(state, _synth_float_batch())
+        ckpt = str(tmp_path / "best_model.ckpt")
+        checkpoint.save_best(ckpt, state, epoch=3, min_loss=0.5)
+
+        _, fresh = _unet_state()
+        restored, meta = checkpoint.restore(ckpt, fresh)
+        assert meta["epoch"] == 3
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_lr_override_on_resume(self, tmp_path):
+        model, state = _unet_state(lr=1e-3)
+        ckpt = str(tmp_path / "c.ckpt")
+        checkpoint.save_best(ckpt, state, 0, 1.0)
+        _, fresh = _unet_state(lr=1e-3)
+        restored, _ = checkpoint.restore(ckpt, fresh, learning_rate_override=5e-4)
+        np.testing.assert_allclose(float(restored.learning_rate), 5e-4)
+
+
+class TestLoop:
+    def test_two_epochs_and_best_checkpoint(self, tmp_path):
+        root = make_packed(tmp_path / "ds", n=8, ps=64, num_classes=3)
+        ds = PackedDataset(root)
+        train_ds = ds.subset(np.arange(0, 32))
+        val_ds = ds.subset(np.arange(32, 40))
+
+        model = UNet(num_classes=3, base_filters=8)
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+        pipe = make_device_pipeline(3, norm_type=1, multitasking=False)
+        losses = make_losses("cross_entropy")
+        tstep = make_train_step(losses, {}, multitasking=False, preprocess=pipe)
+        estep = make_eval_step(losses, {}, multitasking=False, preprocess=pipe)
+
+        cfg = TrainConfig(results_path=str(tmp_path / "results"), batch_size=4,
+                          epochs=2, multitasking=False, tensorboard=False,
+                          verbose=False)
+        state, history = train_model(cfg, state, tstep, estep, train_ds, val_ds)
+        assert len(history) == 2
+        assert "loss" in history[0]["train"]
+        import os
+        assert os.path.exists(str(tmp_path / "results" / "best_model.ckpt"))
