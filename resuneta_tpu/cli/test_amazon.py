@@ -31,8 +31,8 @@ def main(argv=None):
     import jax
     from ..models import ResUnetA, UNet
     from ..train import create_train_state, checkpoint
-    from ..metrics import compute_metrics, confusion_matrix, matrics_AA_recall
-    from ..infer.amazon import prediction, color_map, rgb_image
+    from ..metrics import compute_metrics, confusion_matrix
+    from ..infer.amazon import prediction, color_map, rgb_image, matrics_AA_recall
 
     image_array, image_ref, final_mask, mask_tiles = load_amazon_scene(args)
     H, W, channels = image_array.shape
@@ -71,9 +71,10 @@ def main(argv=None):
         print("Alarm area:", (cm[1, 1] + cm[0, 1]) / len(ref_final) * 100)
     print("test time", time_ts)
 
-    considered = (clip_mask == 1) & (ref_clip != 2)
-    recalls, precisions, aas = matrics_AA_recall(
-        args.thresholds, prob_rec, ref_rec, considered.astype(np.int64))
+    sweep = matrics_AA_recall(args.thresholds, prob_rec, ref_clip,
+                              clip_mask, args.area)
+    recalls, precisions, aas = (100 * sweep[:, 0], 100 * sweep[:, 1],
+                                100 * sweep[:, 2])
     print("Thresholds:", list(args.thresholds))
     print("Recall curve:", np.round(recalls, 2).tolist())
     print("Precision curve:", np.round(precisions, 2).tolist())

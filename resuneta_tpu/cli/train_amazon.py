@@ -53,6 +53,12 @@ def build_parser():
     parser.add_argument("--gpu_parallel", type=str2bool, default=False)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_eval", type=str2bool, default=False)
+    parser.add_argument("--use_tiles", type=str2bool, default=True,
+                        help="False = whole-scene strided extraction with the valid"
+                             "-footprint filter instead of the 15-tile split (the "
+                             "main2_no_tiles.py variant)")
+    parser.add_argument("--mask_ref", type=str, default=None,
+                        help="valid-footprint mask npy (used when --use_tiles False)")
     return parser
 
 
@@ -111,15 +117,40 @@ def main(argv=None):
     H, W, channels = image_array.shape
     print(f"Input image shape: {image_array.shape}")
 
-    def build_split(tiles):
-        p, r = patch_tiles(tiles, mask_tiles, image_array, final_mask,
-                           args.patch_size, stride)
-        p, r = bal_aug_patches(args.percent, args.patch_size, p, r)
+    def to_ds(p, r):
         onehot = np.eye(args.num_classes, dtype=np.float32)[r.astype(np.int64)]
         return ArrayDataset({"image": p.astype(np.float32), "seg": onehot})
 
-    train_ds = build_split(args.train_tiles)
-    val_ds = build_split(args.val_tiles)
+    if args.use_tiles:
+        def build_split(tiles):
+            p, r = patch_tiles(tiles, mask_tiles, image_array, final_mask,
+                               args.patch_size, stride)
+            p, r = bal_aug_patches(args.percent, args.patch_size, p, r)
+            return to_ds(p, r)
+
+        train_ds = build_split(args.train_tiles)
+        val_ds = build_split(args.val_tiles)
+    else:
+        # main2_no_tiles.py variant: whole-scene strided extraction gated on the
+        # valid satellite footprint, then an 80/20 split
+        from sklearn.model_selection import train_test_split
+        from ..data.amazon import extract_patches_right_region, bal_aug_patches2
+        from ..data.isprs import load_npy_image
+
+        if args.mask_ref:
+            mask_valid = load_npy_image(
+                os.path.join(args.dataset_path, args.mask_ref))[:image_ref.shape[0],
+                                                                :image_ref.shape[1]]
+        else:
+            mask_valid = np.full_like(image_ref, -1, np.float64)
+        p, r = extract_patches_right_region(
+            image_array, final_mask, mask_valid, args.patch_size, stride,
+            args.percent)
+        p, r = bal_aug_patches2(args.percent, args.patch_size,
+                                np.asarray(p), np.asarray(r))
+        idx = np.arange(len(p))
+        tr, va = train_test_split(idx, test_size=0.2, random_state=42)
+        train_ds, val_ds = to_ds(p[tr], r[tr]), to_ds(p[va], r[va])
     print(f"Training patches: {len(train_ds)}  Validation patches: {len(val_ds)}")
 
     if args.resunet_a:

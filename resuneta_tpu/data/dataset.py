@@ -96,6 +96,42 @@ class PackedDataset:
         }
 
 
+class DirectoryPairDataset:
+    """Directory-paired image/label loader — the DataGenerator_wqw equivalent
+    (ResUnet_a/utils.py:20-66): matching filenames under image_dir/label_dir,
+    optional mean subtraction, labels converted to one-hot."""
+
+    def __init__(self, image_dir, label_dir, num_classes, mean=None, workers=8):
+        names = sorted(os.listdir(image_dir))
+        self.image_paths = [os.path.join(image_dir, n) for n in names]
+        self.label_paths = [os.path.join(label_dir, n) for n in names]
+        self.num_classes = num_classes
+        self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def subset(self, idx):
+        obj = DirectoryPairDataset.__new__(DirectoryPairDataset)
+        obj.image_paths = [self.image_paths[i] for i in idx]
+        obj.label_paths = [self.label_paths[i] for i in idx]
+        obj.num_classes = self.num_classes
+        obj.mean = self.mean
+        obj.pool = self.pool
+        return obj
+
+    def get_batch(self, positions):
+        imgs = np.stack(list(self.pool.map(
+            np.load, [self.image_paths[i] for i in positions]))).astype(np.float32)
+        lbls = np.stack(list(self.pool.map(
+            np.load, [self.label_paths[i] for i in positions])))
+        if self.mean is not None:
+            imgs = imgs - self.mean
+        onehot = np.eye(self.num_classes, dtype=np.float32)[lbls.astype(np.int64)]
+        return {"image": imgs, "seg": onehot}
+
+
 class ArrayDataset:
     """In-memory batch source over a dict of equally-sized leading-axis arrays
     (the Keras model.fit(x, y) analog used by the Amazon scripts)."""

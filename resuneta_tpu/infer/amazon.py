@@ -63,6 +63,84 @@ def prediction(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
             ref_clip, clipping_mask, end_test)
 
 
+def prediction2(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
+                patch_size, area, batch_size=32, mesh=None):
+    """utils2.py:370-417: like prediction() but patches come from
+    extract_patches_right_region_prediction (only fully-valid patches, stride =
+    patch_size) — suitable when the raster footprint excludes border regions.
+    NB: reconstruction assumes the valid patches tile the full grid; otherwise use
+    prediction()."""
+    from ..data.amazon import extract_patches_right_region_prediction
+
+    H, W = image_ref.shape
+    patch_ts, patches_lb, _, _ = extract_patches_right_region_prediction(
+        image_array, image_ref, mask_amazon_ts, final_mask, patch_size,
+        stride=patch_size)
+    patch_ts = np.asarray(patch_ts, np.float32)
+    patches_lb = np.asarray(patches_lb)
+
+    start_test = time.time()
+    preds = predict_patches(apply_fn, patch_ts, batch_size=batch_size, mesh=mesh)
+    seg = preds["seg"] if isinstance(preds, dict) else preds
+    p_labels = np.argmax(seg, axis=-1)
+    probs = seg[..., 1]
+    end_test = time.time() - start_test
+
+    ref_reconstructed = reconstruct_from_patches(patches_lb, H, W, order="col")
+    img_reconstructed = reconstruct_from_patches(p_labels, H, W, order="col")
+    prob_reconstructed = reconstruct_from_patches(probs, H, W, order="col")
+    return (img_reconstructed, prob_reconstructed, ref_reconstructed, end_test)
+
+
+def output_prediction_FC(apply_fn, image_array, final_mask, patch_size,
+                         batch_size=32, mesh=None):
+    """utils2.py:304-310: probability-map-only whole-scene prediction."""
+    start_test = time.time()
+    patch_ts = extract_patches_nonoverlap(image_array, patch_size, order="col")
+    preds = predict_patches(apply_fn, patch_ts.astype(np.float32),
+                            batch_size=batch_size, mesh=mesh)
+    seg = preds["seg"] if isinstance(preds, dict) else preds
+    probs = seg[..., 1]
+    end_test = time.time() - start_test
+    H, W = final_mask.shape[:2]
+    prob_reconstructed = reconstruct_from_patches(probs, H, W, order="col")
+    return prob_reconstructed, end_test
+
+
+def matrics_AA_recall(thresholds, prob_map, reference, mask_amazon_ts, area):
+    """utils2.py:312-356 (repaired imports): per-threshold binarization with area
+    opening + past-deforestation masking, returning rows of
+    (recall, precision, alarm-area) fractions like the reference."""
+    metrics_all = []
+    for thr in thresholds:
+        img_reconstructed = (prob_map >= thr).astype(np.float64)
+
+        mask_areas_pred = np.ones_like(reference, np.float64)
+        kept = area_opening(img_reconstructed.astype(np.int32),
+                            area_threshold=area, connectivity=1)
+        area_no_consider = img_reconstructed - kept
+        mask_areas_pred[area_no_consider == 1] = 0
+
+        mask_borders = np.ones_like(img_reconstructed)
+        mask_borders[reference == 2] = 0
+
+        mask_no_consider = mask_areas_pred * mask_borders
+        ref_consider = mask_no_consider * reference
+        pred_consider = mask_no_consider * img_reconstructed
+
+        ref_final = ref_consider[mask_amazon_ts == 1]
+        pre_final = pred_consider[mask_amazon_ts == 1]
+
+        tp = float(np.sum((pre_final == 1) & (ref_final == 1)))
+        fp = float(np.sum((pre_final == 1) & (ref_final != 1)))
+        fn = float(np.sum((pre_final != 1) & (ref_final == 1)))
+        precision_ = tp / max(tp + fp, 1e-12)
+        recall_ = tp / max(tp + fn, 1e-12)
+        aa = (tp + fp) / max(len(ref_final), 1)
+        metrics_all.append([recall_, precision_, aa])
+    return np.asarray(metrics_all)
+
+
 def color_map(prob_map, ref_reconstructed, mask_no_considered, clipping_mask, th):
     """utils.py:549-563: threshold the probability map and paint TP=1 / FP=2 /
     FN=3 / past-reference=4 classes (0 elsewhere / outside the clip mask)."""
