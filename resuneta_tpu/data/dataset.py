@@ -81,7 +81,10 @@ class PackedDataset:
 
     def get_batch(self, positions):
         """positions: indices into this dataset view. Returns the RAW device-pipeline
-        batch: uint8 images, uint8 label ids, int32 augmentation variants."""
+        batch: uint8 images, uint8 label ids, int32 augmentation variants.
+        Batch assembly uses the native parallel row gather when available."""
+        from . import native_loader
+
         sample_ids = self.indices[positions]
         if self.aug:
             patch_ids = sample_ids // AUG_FACTOR
@@ -90,8 +93,8 @@ class PackedDataset:
             patch_ids = sample_ids
             variants = np.zeros(len(sample_ids), np.int32)
         return {
-            "image_u8": np.ascontiguousarray(self.images[patch_ids]),
-            "label_ids": np.ascontiguousarray(self.labels[patch_ids]),
+            "image_u8": native_loader.gather_rows(self.images, patch_ids),
+            "label_ids": native_loader.gather_rows(self.labels, patch_ids),
             "aug": variants,
         }
 
@@ -160,6 +163,7 @@ class LegacyPatchDataset:
 
     def __init__(self, root, multitasking=True, paths=None, workers=8):
         self.multitasking = multitasking
+        self._shapes = {}
         if paths is None:
             train_dir = os.path.join(root, "train")
             names = sorted(os.listdir(train_dir))
@@ -180,9 +184,17 @@ class LegacyPatchDataset:
         return LegacyPatchDataset(None, self.multitasking, paths=sub)
 
     def get_batch(self, positions):
+        from . import native_loader
+
         out = {}
         for key, plist in self.paths.items():
             files = [plist[i] for i in positions]
-            arrays = list(self.pool.map(np.load, files))
-            out[key] = np.stack(arrays).astype(np.float32)
+            if key not in self._shapes:
+                probe = np.load(files[0])
+                self._shapes[key] = (probe.shape, probe.dtype)
+            shape, dtype = self._shapes[key]
+            batch = native_loader.load_npy_batch(files, shape, dtype)
+            if batch is None:  # fallback: Python thread pool
+                batch = np.stack(list(self.pool.map(np.load, files)))
+            out[key] = batch.astype(np.float32, copy=False)
         return out
