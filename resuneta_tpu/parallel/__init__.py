@@ -1,3 +1,19 @@
-from .mesh import make_mesh, shard_batch, replicate, batch_sharding
+from .mesh import (
+    make_mesh,
+    make_mesh_2d,
+    shard_batch,
+    shard_batch_spatial,
+    replicate,
+    batch_sharding,
+    spatial_batch_sharding,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "shard_batch",
+    "shard_batch_spatial",
+    "replicate",
+    "batch_sharding",
+    "spatial_batch_sharding",
+]

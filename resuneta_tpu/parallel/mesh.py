@@ -21,6 +21,34 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_2d(n_data, n_space, devices=None):
+    """2-D mesh (data, space) for combined batch + spatial sharding: the 'space'
+    axis partitions the image height of every activation, XLA inserting conv halo
+    exchanges automatically (the scaling path for 512px+ inputs, SURVEY.md §2.3
+    'spatial parallelism')."""
+    devs = list(devices if devices is not None else jax.devices())
+    assert len(devs) >= n_data * n_space, "not enough devices"
+    grid = np.asarray(devs[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(grid, ("data", "space"))
+
+
+def spatial_batch_sharding(mesh):
+    """Images (B, H, W, C): shard batch over 'data' and height over 'space'."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
+def shard_batch_spatial(batch, mesh):
+    """Place a raw/packed batch with batch+height sharding. 2-D arrays per sample
+    (labels) shard on (data, space) too; 1-D arrays shard on data only."""
+
+    def put(x):
+        if x.ndim >= 2:
+            return jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+        return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def batch_sharding(mesh, axis_name="data"):
     """Sharding for a batch-leading array: shard dim 0 over the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -35,6 +35,7 @@ class TrainConfig:
     tensorboard: bool = True
     verbose: bool = True
     checkpoint_name: str = "best_model.ckpt"
+    profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0 when set
 
 
 def _writers(config):
@@ -108,9 +109,18 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
     for epoch in range(config.epochs):
         t0 = time.time()
         perm = rng.permutation(len(train_ds))
+        profiling = config.profile_dir is not None and epoch == 0
+        if profiling:
+            import jax.profiler
+            jax.profiler.start_trace(config.profile_dir)
         state, loss_tr = _epoch_pass(
             train_step, state, train_ds, config.batch_size, perm, mesh, train=True
         )
+        if profiling:
+            import jax.profiler
+            jax.profiler.stop_trace()
+        train_time = time.time() - t0
+        n_seen = (len(train_ds) // config.batch_size) * config.batch_size
         order_val = np.arange(len(val_ds))
         _, loss_val = _epoch_pass(
             eval_step, state, val_ds, config.batch_size, order_val, mesh, train=False
@@ -118,8 +128,12 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
 
         train_metrics = dict(zip(names, loss_tr.tolist()))
         val_metrics = dict(zip(names, loss_val.tolist()))
+        patches_per_sec = n_seen / max(train_time, 1e-9)
         history.append({"train": train_metrics, "val": val_metrics,
-                        "time": time.time() - t0})
+                        "time": time.time() - t0,
+                        "patches_per_sec": patches_per_sec})
+        if train_w is not None:
+            train_w.add_scalar("Perf/patches_per_sec", patches_per_sec, epoch)
 
         if not config.multitasking:
             mcc = float(compute_mcc(
