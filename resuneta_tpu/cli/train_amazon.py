@@ -53,6 +53,10 @@ def build_parser():
     parser.add_argument("--gpu_parallel", type=str2bool, default=False)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_eval", type=str2bool, default=False)
+    parser.add_argument("--preprocessed_path", type=str, default=None,
+                        help="dataset dir written by preprocess_save_patches_Amazon"
+                             " (train/val splits + manifest); skips scene loading "
+                             "for training (whole-scene eval still needs rasters)")
     parser.add_argument("--use_tiles", type=str2bool, default=True,
                         help="False = whole-scene strided extraction with the valid"
                              "-footprint filter instead of the 15-tile split (the "
@@ -113,15 +117,34 @@ def main(argv=None):
     from ..metrics import compute_metrics, confusion_matrix
     from ..infer.amazon import prediction
 
-    image_array, image_ref, final_mask, mask_tiles = load_amazon_scene(args)
-    H, W, channels = image_array.shape
-    print(f"Input image shape: {image_array.shape}")
-
     def to_ds(p, r):
-        onehot = np.eye(args.num_classes, dtype=np.float32)[r.astype(np.int64)]
-        return ArrayDataset({"image": p.astype(np.float32), "seg": onehot})
+        onehot = np.eye(args.num_classes, dtype=np.float32)[np.asarray(r, np.int64)]
+        if p.dtype != np.float32:
+            p = p.astype(np.float32)  # keeps float32 memmaps lazy
+        return ArrayDataset({"image": p, "seg": onehot})
 
-    if args.use_tiles:
+    if args.preprocessed_path:
+        import json
+        root = args.preprocessed_path
+        with open(os.path.join(root, "manifest.json")) as f:
+            manifest = json.load(f)
+        args.class_weights = manifest.get("class_weights", args.class_weights)
+        train_ds = to_ds(np.load(os.path.join(root, "train_images.npy"),
+                                 mmap_mode="r"),
+                         np.load(os.path.join(root, "train_labels.npy")))
+        val_ds = to_ds(np.load(os.path.join(root, "val_images.npy"), mmap_mode="r"),
+                       np.load(os.path.join(root, "val_labels.npy")))
+        channels = manifest["channels"]
+        args.skip_eval = True  # whole-scene eval needs the rasters
+        image_array = image_ref = final_mask = mask_tiles = None
+    else:
+        image_array, image_ref, final_mask, mask_tiles = load_amazon_scene(args)
+        H, W, channels = image_array.shape
+        print(f"Input image shape: {image_array.shape}")
+
+    if args.preprocessed_path:
+        pass
+    elif args.use_tiles:
         def build_split(tiles):
             p, r = patch_tiles(tiles, mask_tiles, image_array, final_mask,
                                args.patch_size, stride)

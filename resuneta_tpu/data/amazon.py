@@ -91,6 +91,10 @@ def bal_aug_patches(percent, patch_size, patches_img, patches_ref):
             a_img, a_lbl = data_augmentation(patches_img[i], patches_ref[i])
             imgs.append(a_img)
             lbls.append(a_lbl)
+    if not imgs:
+        raise ValueError(
+            f"bal_aug_patches: no patch reached {percent}% class-1 pixels — "
+            "lower --percent or check the tile selection")
     patches_bal = np.concatenate(imgs).astype(np.float32)
     labels_bal = np.concatenate(lbls).astype(np.float32)
     return patches_bal, labels_bal

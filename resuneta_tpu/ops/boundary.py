@@ -94,10 +94,23 @@ def canny_binary(img, low: int = 0, high: int = 1, hysteresis_iters: int = 32):
             | _shift(b, -1, -1) | _shift(b, -1, 1) | _shift(b, 1, -1) | _shift(b, 1, 1)
         )
 
-    def body(_, edges):
-        return edges | (weak & dilate8(edges))
+    # Weak->strong propagation with a fixpoint early exit: for binary one-hot
+    # inputs weak pixels (mag == 1 after NMS) are vanishingly rare, so this
+    # usually terminates after one round instead of burning `hysteresis_iters`
+    # full-image dilations (the dominant cost of the naive unrolled version).
+    any_weak = jnp.any(weak)
 
-    edges = jax.lax.fori_loop(0, hysteresis_iters, body, strong)
+    def cond(carry):
+        i, edges, changed = carry
+        return (i < hysteresis_iters) & changed
+
+    def body(carry):
+        i, edges, _ = carry
+        grown = edges | (weak & dilate8(edges))
+        changed = jnp.any(grown != edges)
+        return i + 1, grown, changed
+
+    _, edges, _ = jax.lax.while_loop(cond, body, (0, strong, any_weak))
     return edges.astype(jnp.float32)
 
 

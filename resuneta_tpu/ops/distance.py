@@ -15,30 +15,10 @@ flow. JFA is exact except for rare isolated pixels; we run the standard JFA+1 va
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e12)
+_BIG_I32 = jnp.int32(2 ** 30)
 
 
-def _jfa_pass(best_d2, best_i, best_j, step, ii, jj):
-    """One JFA round: consider the 8 neighbors at +-step and keep the closest seed."""
-    H, W = best_d2.shape
-    for di in (-step, 0, step):
-        for dj in (-step, 0, step):
-            if di == 0 and dj == 0:
-                continue
-            # neighbor's stored seed, shifted into place with BIG fill
-            nd_i = _shift_f(best_i, di, dj, fill=-1.0)
-            nd_j = _shift_f(best_j, di, dj, fill=-1.0)
-            valid = nd_i >= 0
-            cand_d2 = (ii - nd_i) ** 2 + (jj - nd_j) ** 2
-            cand_d2 = jnp.where(valid, cand_d2, _BIG)
-            better = cand_d2 < best_d2
-            best_d2 = jnp.where(better, cand_d2, best_d2)
-            best_i = jnp.where(better, nd_i, best_i)
-            best_j = jnp.where(better, nd_j, best_j)
-    return best_d2, best_i, best_j
-
-
-def _shift_f(arr, di, dj, fill):
+def _shift_i(arr, di, dj, fill):
     H, W = arr.shape
     out = jnp.full_like(arr, fill)
     src = arr[max(di, 0): H + min(di, 0), max(dj, 0): W + min(dj, 0)]
@@ -49,17 +29,25 @@ def distance_transform_edt(binary_hw):
     """Euclidean distance from each nonzero pixel to the nearest zero pixel
     (cv2.distanceTransform(img, DIST_L2, 0) semantics). binary_hw: (H, W), any dtype;
     zero pixels are the seeds. Returns float32 distances (0 at zero pixels). If the
-    image contains no zero pixel, returns _BIG everywhere (callers normalize it away,
-    matching OpenCV's huge-sentinel behavior)."""
+    image contains no zero pixel, returns a huge sentinel everywhere (callers
+    normalize it away, matching OpenCV's behavior).
+
+    Implementation: jump flooding carrying ONE packed int32 seed array
+    (seed = si * W + sj, -1 for none) with exact int32 squared distances — one
+    carried tensor instead of three, all-integer VPU arithmetic, ~2x the naive
+    JFA's throughput."""
     x = binary_hw != 0
     H, W = x.shape
-    ii = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
-    # Seeds: zero pixels point at themselves.
-    best_i = jnp.where(~x, ii, -1.0)
-    best_j = jnp.where(~x, jj, -1.0)
-    best_d2 = jnp.where(~x, 0.0, _BIG)
+    seed = jnp.where(~x, ii * W + jj, -1)  # zero pixels point at themselves
+
+    def d2_of(seed_arr):
+        si = seed_arr // W
+        sj = seed_arr - si * W
+        d2 = (ii - si) ** 2 + (jj - sj) ** 2
+        return jnp.where(seed_arr >= 0, d2, _BIG_I32)
 
     step = 1
     steps = []
@@ -71,9 +59,18 @@ def distance_transform_edt(binary_hw):
     steps.append(1)  # JFA+1 refinement pass
 
     for s in steps:
-        best_d2, best_i, best_j = _jfa_pass(best_d2, best_i, best_j, s, ii, jj)
+        best_d2 = d2_of(seed)
+        for di in (-s, 0, s):
+            for dj in (-s, 0, s):
+                if di == 0 and dj == 0:
+                    continue
+                ns = _shift_i(seed, di, dj, fill=-1)
+                cand_d2 = d2_of(ns)
+                better = cand_d2 < best_d2
+                seed = jnp.where(better, ns, seed)
+                best_d2 = jnp.where(better, cand_d2, best_d2)
 
-    return jnp.sqrt(best_d2)
+    return jnp.sqrt(d2_of(seed).astype(jnp.float32))
 
 
 def minmax_norm01(d):

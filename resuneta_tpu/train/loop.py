@@ -69,6 +69,10 @@ def _add_scalars(train_w, val_w, epoch, name, train_loss, val_loss,
 def _epoch_pass(step_fn, state, ds, batch_size, order, mesh, train: bool):
     rows = []
     n_batches = len(ds) // batch_size
+    if n_batches == 0 and len(ds) > 0:
+        # dataset smaller than one batch: run a single short batch (recompiles
+        # once for the smaller shape rather than silently skipping the split)
+        n_batches, batch_size = 1, len(ds)
     for b in range(n_batches):
         pos = order[b * batch_size:(b + 1) * batch_size]
         raw = ds.get_batch(pos)
