@@ -1,0 +1,9 @@
+#!/usr/bin/env python
+"""ResUnet-a multitask-on-Amazon variant (reference: amazon_py/main_mabel_resuneta.py,
+stale as committed). Equivalent run: train_amazon with --resunet_a True."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from resuneta_tpu.cli.train_amazon import main
+
+if __name__ == "__main__":
+    main(["--resunet_a", "True"] + sys.argv[1:])
