@@ -84,8 +84,21 @@ def minmax_norm01(d):
 def get_distance_label(label_hwc):
     """Multitask distance label from a one-hot label (H, W, C): per-channel precise
     EDT + min-max normalization to [0,1] — on-device equivalent of
-    multitasking_utils.py:26-35."""
+    multitasking_utils.py:26-35. Set RESUNETA_PALLAS=1 to use the VMEM-resident
+    Pallas JFA kernel on TPU (ops/pallas/jfa.py)."""
+    import os
+
     chan_first = jnp.moveaxis(label_hwc, -1, 0)
-    dists = jax.vmap(distance_transform_edt)(chan_first)
+    # opt-in while the experimental axon Mosaic backend stabilizes
+    use_pallas = bool(os.environ.get("RESUNETA_PALLAS"))
+    if use_pallas:
+        from .pallas.jfa import pallas_available, distance_transform_edt_pallas
+
+        if pallas_available():
+            dists = distance_transform_edt_pallas(chan_first)
+        else:
+            dists = jax.vmap(distance_transform_edt)(chan_first)
+    else:
+        dists = jax.vmap(distance_transform_edt)(chan_first)
     dists = jax.vmap(minmax_norm01)(dists)
     return jnp.moveaxis(dists, 0, -1)
