@@ -61,6 +61,8 @@ def build_parser():
                         help="Model compute dtype (params stay float32)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of epoch 0 here")
     return parser
 
 
@@ -165,6 +167,7 @@ def main(argv=None):
         multitasking=args.multitasking,
         patience=args.patience,
         seed=args.seed,
+        profile_dir=args.profile_dir,
     )
 
     start = time.time()

@@ -128,9 +128,20 @@ def cross_dilate(x, iterations: int = 1):
 def get_boundary_label(label_hwc, kernel_size=(3, 3)):
     """Multitask boundary label from a one-hot label (H, W, C) — on-device equivalent
     of multitasking_utils.py:6-23: per-channel Canny(0,1) then 3x3 cross dilation,
-    output float32 in {0, 1} (the reference's /255 normalization is implicit)."""
+    output float32 in {0, 1} (the reference's /255 normalization is implicit).
+    On TPU this runs as a VMEM-resident Pallas kernel (ops/pallas/canny.py, same
+    arithmetic); set RESUNETA_NO_PALLAS=1 to force the XLA path."""
+    import os
+
     assert kernel_size == (3, 3), "reference always uses a 3x3 cross"
     chan_first = jnp.moveaxis(label_hwc, -1, 0)
+    if not os.environ.get("RESUNETA_NO_PALLAS") and \
+            not os.environ.get("RESUNETA_NO_PALLAS_CANNY"):
+        from .pallas.canny import pallas_available, boundary_label_pallas
+
+        if pallas_available():
+            bounds = boundary_label_pallas(chan_first.astype(jnp.int32))
+            return jnp.moveaxis(bounds, 0, -1)
     edges = jax.vmap(canny_binary)(chan_first.astype(jnp.int32))
     bounds = jax.vmap(cross_dilate)(edges)
     return jnp.moveaxis(bounds, 0, -1)
