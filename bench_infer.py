@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Secondary benchmark: sliding-window whole-scene inference throughput (Mpix/s)
+on the multitask ResUnet-a d6 — the BASELINE.json secondary metric. The reference
+equivalent predicts with batch_size=1 (test_ISPRS.py:28); here the patch grid is
+batched through one jitted forward."""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from resuneta_tpu.models import ResUnetA
+    from resuneta_tpu.infer import predict_patches
+
+    ps = int(os.environ.get("BENCH_PATCH_SIZE", 256))
+    bs = int(os.environ.get("BENCH_BATCH_SIZE", 32))
+    n_patches = int(os.environ.get("BENCH_N_PATCHES", 128))
+
+    model = ResUnetA(num_classes=5, img_size=ps, multitasking=True,
+                     dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 3)),
+                           train=False)
+
+    @jax.jit
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    rng = np.random.default_rng(0)
+    patches = rng.uniform(size=(n_patches, ps, ps, 3)).astype(np.float32)
+
+    predict_patches(apply_fn, patches[:bs], batch_size=bs)  # compile
+    t0 = time.perf_counter()
+    preds = predict_patches(apply_fn, patches, batch_size=bs)
+    np.asarray(preds["seg"].ravel()[:1])
+    dt = time.perf_counter() - t0
+
+    mpix = n_patches * ps * ps / dt / 1e6
+    print(json.dumps({
+        "metric": "sliding-window inference Mpix/s (256px multitask)",
+        "value": round(mpix, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
