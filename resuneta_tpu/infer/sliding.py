@@ -10,10 +10,37 @@ halo exchange (SURVEY.md §2.3 "spatial parallelism").
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.patches import extract_patches_nonoverlap, reconstruct_from_patches
 from ..parallel.mesh import shard_batch
+
+
+_COMPOSED_CACHE = {}
+
+
+def _composed(apply_fn, device_post):
+    key = (id(apply_fn), id(device_post))
+    if key not in _COMPOSED_CACHE:
+        _COMPOSED_CACHE[key] = jax.jit(lambda x: device_post(apply_fn(x)))
+    return _COMPOSED_CACHE[key]
+
+
+def make_seg_ids_fn(model, variables, multitask=True, norm_type=None):
+    """Jitted forward that returns uint8 class ids (argmax on device) — the
+    minimal-transfer whole-scene path. With norm_type set, the input is raw
+    uint8 pixels normalized on device (4x less host->device traffic)."""
+    from ..ops.normalize import normalize_rgb
+
+    @jax.jit
+    def fn(x):
+        if norm_type is not None:
+            x = normalize_rgb(x.astype(jnp.float32), norm_type)
+        out = model.apply(variables, x, train=False)
+        seg = out["seg"] if multitask else out
+        return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+    return fn
 
 
 def make_apply_fn(model, variables):
@@ -24,21 +51,31 @@ def make_apply_fn(model, variables):
     return apply_fn
 
 
-def predict_patches(apply_fn, patches, batch_size=32, mesh=None):
+def predict_patches(apply_fn, patches, batch_size=32, mesh=None, device_post=None):
     """Run apply_fn over (N, P, P, C) patches in batches; pads the tail batch.
-    Returns stacked outputs (dict of arrays for multitask, else array)."""
+    Returns stacked outputs (dict of arrays for multitask, else array).
+
+    device_post: optional reduction applied ON DEVICE before the device->host
+    transfer (e.g. argmax to uint8 class ids) — whole-scene segmentation only
+    needs ids, and transferring full multitask probability volumes dominates
+    wall-clock on slow host links. The composed program is cached per
+    (apply_fn, device_post) pair so repeated calls don't recompile."""
     n = patches.shape[0]
     if mesh is not None:
         # keep every batch divisible by the mesh axis
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         batch_size = max(batch_size // n_dev, 1) * n_dev
+    if device_post is not None:
+        apply_fn = _composed(apply_fn, device_post)
     outs = []
     for i in range(0, n, batch_size):
         chunk = patches[i:i + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-        chunk = np.ascontiguousarray(chunk, dtype=np.float32)
+        # keep the caller's dtype: uint8 patches upload 4x less than float32
+        # (on-device normalization via make_seg_ids_fn(norm_type=...))
+        chunk = np.ascontiguousarray(chunk)
         if mesh is not None:
             chunk = shard_batch(chunk, mesh)
         out = apply_fn(chunk)
@@ -50,14 +87,22 @@ def predict_patches(apply_fn, patches, batch_size=32, mesh=None):
 
 
 def predict_scene(apply_fn, image, patch_size, batch_size=32, mesh=None,
-                  multitask=True):
+                  multitask=True, ids_only=False):
     """Whole-scene segmentation: chop -> predict -> argmax -> reconstruct.
-    Returns (class_map (H', W'), raw patch predictions)."""
+    Returns (class_map (H', W'), raw patch predictions — or uint8 ids when
+    ids_only, which argmaxes on device and transfers ~70x less data)."""
     image = np.asarray(image)
     patches = extract_patches_nonoverlap(image, patch_size, order="row")
-    preds = predict_patches(apply_fn, patches, batch_size, mesh)
-    seg = preds["seg"] if multitask else preds
-    seg_ids = np.argmax(seg, axis=-1)
+    if ids_only:
+        head = (lambda o: o["seg"]) if multitask else (lambda o: o)
+        post = lambda o: jnp.argmax(head(o), axis=-1).astype(jnp.uint8)
+        preds = predict_patches(apply_fn, patches, batch_size, mesh,
+                                device_post=post)
+        seg_ids = preds
+    else:
+        preds = predict_patches(apply_fn, patches, batch_size, mesh)
+        seg = preds["seg"] if multitask else preds
+        seg_ids = np.argmax(seg, axis=-1)
     class_map = reconstruct_from_patches(
         seg_ids, image.shape[0], image.shape[1], order="row"
     )
