@@ -56,19 +56,19 @@ def extract_patches(image, reference, patch_size, stride):
 def extract_patches_nonoverlap(image, patch_size, order="row"):
     """Non-overlapping chop (stride = patch_size), truncating any remainder —
     test_ISPRS.py:102-152 semantics (order='row') and utils.py:402-437 extrac_patch2
-    (order='col': outer loop over columns). Works for (H, W) and (H, W, C)."""
+    (order='col': outer loop over columns). Works for (H, W) and (H, W, C),
+    numpy or jax arrays."""
+    xp = jnp if isinstance(image, jnp.ndarray) else np
     H, W = image.shape[:2]
     n_h, n_w = H // patch_size, W // patch_size
     img = image[: n_h * patch_size, : n_w * patch_size]
-    if img.ndim == 2:
-        grid = img.reshape(n_h, patch_size, n_w, patch_size).transpose(0, 2, 1, 3)
-    else:
-        grid = img.reshape(n_h, patch_size, n_w, patch_size, -1).transpose(0, 2, 1, 3, 4)
+    trail = img.shape[2:]
+    grid = img.reshape((n_h, patch_size, n_w, patch_size) + trail)
+    grid = xp.moveaxis(grid, 2, 1)  # (n_h, n_w, P, P, ...)
     if order == "col":
-        grid = np.swapaxes(np.asarray(grid), 0, 1) if isinstance(grid, np.ndarray) \
-            else jnp.swapaxes(grid, 0, 1)
-    return np.ascontiguousarray(grid).reshape((n_h * n_w,) + grid.shape[2:]) \
-        if isinstance(grid, np.ndarray) else grid.reshape((n_h * n_w,) + grid.shape[2:])
+        grid = xp.swapaxes(grid, 0, 1)
+    out = grid.reshape((n_h * n_w, patch_size, patch_size) + trail)
+    return np.ascontiguousarray(out) if xp is np else out
 
 
 def reconstruct_from_patches(patches, height, width, order="row"):
