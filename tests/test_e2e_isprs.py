@@ -80,6 +80,19 @@ class TestTrainEvalCLI:
         # TB event files written with the reference tag layout
         assert os.path.isdir(results / "logs" / "train")
 
+    def test_train_gpu_parallel_mesh(self, packed_ds, tmp_path):
+        # --gpu_parallel maps to the GSPMD data-parallel mesh (8 CPU devices here)
+        from resuneta_tpu.cli.train_isprs import main as train_main
+        results = tmp_path / "dp"
+        state, history = train_main([
+            "--resunet_a", "False", "--multitasking", "False",
+            "--gpu_parallel", "True",
+            "-dp", str(packed_ds), "-rp", str(results),
+            "-bs", "8", "--loss", "cross_entropy", "--epochs", "1", "-ps", "64",
+        ])
+        assert len(history) == 1
+        assert np.isfinite(history[0]["val"]["loss"])
+
     def test_train_resume_with_lr_override(self, packed_ds, tmp_path):
         from resuneta_tpu.cli.train_isprs import main as train_main
         results = tmp_path / "res1"
