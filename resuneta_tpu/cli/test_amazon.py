@@ -9,7 +9,7 @@ import os
 
 import numpy as np
 
-from ..utils.cli import str2bool, setup_platform
+from ..utils.cli import setup_platform
 from .train_amazon import build_parser as _train_parser, load_amazon_scene
 
 

@@ -12,7 +12,6 @@ Augmentation equivariance note: boundary/distance/HSV generation commute with th
 augmentation is equivalent to the reference's augment-then-generate order.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

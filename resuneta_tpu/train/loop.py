@@ -10,7 +10,7 @@ batches stream asynchronously (JAX dispatch) so host I/O overlaps device compute
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

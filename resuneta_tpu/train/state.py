@@ -8,7 +8,6 @@ K.set_value(model.optimizer.lr, ...) semantics, train_ISPRS.py:477-479).
 
 from typing import Any, Callable
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct

@@ -11,7 +11,6 @@ Metric rows keep the reference's exact names and ordering so the epoch report an
 TensorBoard layout line up (train_ISPRS.py:493-496, 508-509).
 """
 
-from functools import partial
 from typing import Dict
 
 import jax
