@@ -40,8 +40,11 @@ def main():
         else jnp.float32
     num_classes = 5
 
+    import sys
+
     dev = jax.devices()[0]
-    print(f"# device: {dev}, ps={ps}, bs={bs}, dtype={dtype.__name__}")
+    print(f"# device: {dev}, ps={ps}, bs={bs}, dtype={dtype.__name__}",
+          file=sys.stderr)
 
     model = ResUnetA(num_classes=num_classes, img_size=ps, multitasking=True,
                      dtype=dtype)
