@@ -78,7 +78,7 @@ def main():
 
     patches_per_sec = bs * steps / dt
     result = {
-        "metric": "train patches/sec/chip (256px multitask)",
+        "metric": f"train patches/sec/chip ({ps}px multitask)",
         "value": round(patches_per_sec, 2),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 2),

@@ -95,7 +95,8 @@ def get_distance_label(label_hwc):
     if use_pallas:
         from .pallas.jfa import pallas_available, distance_transform_edt_pallas
 
-        if pallas_available():
+        plane = label_hwc.shape[0] * label_hwc.shape[1]
+        if pallas_available(plane):
             dists = distance_transform_edt_pallas(chan_first)
         else:
             dists = jax.vmap(distance_transform_edt)(chan_first)

@@ -24,8 +24,14 @@ except Exception:  # pragma: no cover
 _TG22 = 13573
 
 
-def pallas_available():
-    return _PALLAS_OK and jax.default_backend() == "tpu"
+# The kernel holds ~15 concurrent (H, W) int32 temporaries in VMEM; above this
+# plane size it exceeds the ~16 MB scoped-vmem budget (observed at 512x512).
+MAX_PLANE_ELEMS = 384 * 384
+
+
+def pallas_available(plane_elems=0):
+    return (_PALLAS_OK and jax.default_backend() == "tpu"
+            and plane_elems <= MAX_PLANE_ELEMS)
 
 
 def _roll_shift(arr, di, dj):

@@ -26,8 +26,14 @@ except Exception:  # pragma: no cover
 _BIG_I32 = 2 ** 30  # python literal: pallas kernels must not capture traced constants
 
 
-def pallas_available():
-    return _PALLAS_OK and jax.default_backend() == "tpu"
+# ~6 concurrent (H, W) int32 temporaries in VMEM; stay under the ~16 MB scoped
+# budget with headroom (1024x1024 planes measured fine at 512; cap conservatively).
+MAX_PLANE_ELEMS = 768 * 768
+
+
+def pallas_available(plane_elems=0):
+    return (_PALLAS_OK and jax.default_backend() == "tpu"
+            and plane_elems <= MAX_PLANE_ELEMS)
 
 
 def _shift_fill(arr, di, dj, fill):
