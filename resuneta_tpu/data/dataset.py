@@ -99,17 +99,56 @@ class PackedDataset:
         }
 
 
+def _resize_bilinear(img, out_h, out_w):
+    """cv2.resize-compatible bilinear resize (align half-pixel centers), HW[C]."""
+    img = np.asarray(img, np.float32)
+    in_h, in_w = img.shape[:2]
+    if (in_h, in_w) == (out_h, out_w):
+        return img
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * in_h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys), 0, in_h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, in_w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)
+    if img.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _resize_nearest(arr, out_h, out_w):
+    """cv2 INTER_NEAREST-compatible resize for label maps, HW[C]."""
+    arr = np.asarray(arr)
+    in_h, in_w = arr.shape[:2]
+    if (in_h, in_w) == (out_h, out_w):
+        return arr
+    ys = np.minimum((np.arange(out_h) * in_h / out_h).astype(np.int64), in_h - 1)
+    xs = np.minimum((np.arange(out_w) * in_w / out_w).astype(np.int64), in_w - 1)
+    return arr[ys][:, xs]
+
+
 class DirectoryPairDataset:
     """Directory-paired image/label loader — the DataGenerator_wqw equivalent
     (ResUnet_a/utils.py:20-66): matching filenames under image_dir/label_dir,
-    optional mean subtraction, labels converted to one-hot."""
+    resize to config (H, W) (ResUnet_a/utils.py:50-52: bilinear for images,
+    nearest for labels), optional mean subtraction, labels converted to one-hot."""
 
-    def __init__(self, image_dir, label_dir, num_classes, mean=None, workers=8):
+    def __init__(self, image_dir, label_dir, num_classes, mean=None, workers=8,
+                 target_size=None):
         names = sorted(os.listdir(image_dir))
         self.image_paths = [os.path.join(image_dir, n) for n in names]
         self.label_paths = [os.path.join(label_dir, n) for n in names]
         self.num_classes = num_classes
         self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.target_size = target_size  # (H, W) or None
         self.pool = ThreadPoolExecutor(max_workers=workers)
 
     def __len__(self):
@@ -121,14 +160,21 @@ class DirectoryPairDataset:
         obj.label_paths = [self.label_paths[i] for i in idx]
         obj.num_classes = self.num_classes
         obj.mean = self.mean
+        obj.target_size = self.target_size
         obj.pool = self.pool
         return obj
 
     def get_batch(self, positions):
-        imgs = np.stack(list(self.pool.map(
-            np.load, [self.image_paths[i] for i in positions]))).astype(np.float32)
-        lbls = np.stack(list(self.pool.map(
-            np.load, [self.label_paths[i] for i in positions])))
+        imgs = list(self.pool.map(
+            np.load, [self.image_paths[i] for i in positions]))
+        lbls = list(self.pool.map(
+            np.load, [self.label_paths[i] for i in positions]))
+        if self.target_size is not None:
+            h, w = self.target_size
+            imgs = [_resize_bilinear(im, h, w) for im in imgs]
+            lbls = [_resize_nearest(lb, h, w) for lb in lbls]
+        imgs = np.stack(imgs).astype(np.float32)
+        lbls = np.stack(lbls)
         if self.mean is not None:
             imgs = imgs - self.mean
         onehot = np.eye(self.num_classes, dtype=np.float32)[lbls.astype(np.int64)]

@@ -35,9 +35,13 @@ def binary_counts(y_true, y_pred, threshold=0.5):
 
 
 def compute_mcc(tp, tn, fp, fn):
-    """Matthews correlation coefficient from counts (train_ISPRS.py:30-32)."""
+    """Matthews correlation coefficient from counts (train_ISPRS.py:30-32).
+
+    Returns 0 when any marginal count is 0 (sklearn.matthews_corrcoef semantics)
+    instead of the reference's NaN, so degenerate validation batches don't poison
+    the epoch history."""
     denom = jnp.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
-    return (tp * tn - fp * fn) / denom
+    return jnp.where(denom > 0, (tp * tn - fp * fn) / jnp.maximum(denom, 1e-38), 0.0)
 
 
 def confusion_matrix_device(true_ids, pred_ids, num_classes):
@@ -94,9 +98,12 @@ def alarm_area(cm_2class):
     return (cm_2class[1, 1] + cm_2class[0, 1]) / max(total, 1)
 
 
-def matrics_AA_recall(thresholds, prob_map, ref_reconstructed, mask_considered):
-    """Threshold sweep -> (recall, precision, alarm-area) curves, the repaired
-    equivalent of utils2.py:312-356 (whose imports are broken in the reference).
+def threshold_sweep_curves(thresholds, prob_map, ref_reconstructed, mask_considered):
+    """Simple masked threshold sweep -> (recall, precision, alarm-area) curves in
+    percent. NOT the reference's matrics_AA_recall — that full semantics (area
+    opening + past-deforestation masking, utils2.py:312-356) lives in
+    infer/amazon.py:matrics_AA_recall and is what the Amazon CLI uses. This is a
+    lightweight diagnostic for raw probability maps.
 
     prob_map, ref_reconstructed, mask_considered: 2-D arrays; only pixels where
     mask_considered == 1 participate.

@@ -9,7 +9,7 @@ from resuneta_tpu.data.amazon import (
     class_weights_from_counts, data_augmentation,
 )
 from resuneta_tpu.infer.amazon import prediction, color_map, rgb_image
-from resuneta_tpu.metrics import matrics_AA_recall
+from resuneta_tpu.metrics import threshold_sweep_curves
 from resuneta_tpu.ops.morphology import mask_no_considered
 
 
@@ -107,7 +107,7 @@ class TestPrediction:
         prob = np.linspace(0, 1, 100).reshape(10, 10)
         ref = (prob > 0.5).astype(np.int64)
         mask = np.ones_like(ref)
-        rec, prec, aa = matrics_AA_recall([0.25, 0.5, 0.75], prob, ref, mask)
+        rec, prec, aa = threshold_sweep_curves([0.25, 0.5, 0.75], prob, ref, mask)
         assert rec[0] == 100.0          # low threshold catches everything
         assert prec[2] == 100.0         # high threshold is precise
         assert aa[0] > aa[2]

@@ -120,6 +120,18 @@ class TestMetrics:
         denom = np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
         np.testing.assert_allclose(mcc, (tp * tn - fp * fn) / denom, rtol=1e-6)
 
+    def test_mcc_degenerate_batch_is_zero_not_nan(self):
+        # all-one-class batch: every marginal but TP is 0 -> sklearn returns 0
+        y = np.zeros((1, 4, 4, 2), np.float32)
+        y[..., 1] = 1.0
+        p = y.copy()
+        tp, fp, tn, fn = metrics.binary_counts(jnp.asarray(y), jnp.asarray(p))
+        mcc = np.asarray(metrics.compute_mcc(tp, tn, fp, fn))
+        assert np.isfinite(mcc)
+        # fp = fn = 0 but tn > 0 here (the 0-channel), so take a harder case too:
+        mcc0 = np.asarray(metrics.compute_mcc(10.0, 0.0, 0.0, 0.0))
+        assert mcc0 == 0.0
+
     def test_confusion_matrix_device(self):
         rng = np.random.default_rng(2)
         t = rng.integers(0, 4, 1000)
