@@ -43,7 +43,7 @@ def main(argv=None):
 
     if args.resunet_a:
         model = ResUnetA(num_classes=args.num_classes, img_size=args.patch_size,
-                         multitasking=False)
+                         multitasking=bool(args.multitasking), color_head=False)
     else:
         model = UNet(num_classes=args.num_classes)
     state = create_train_state(

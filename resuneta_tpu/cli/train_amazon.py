@@ -111,7 +111,7 @@ def main(argv=None):
     from ..losses import weighted_categorical_crossentropy
     from ..train import (create_train_state, make_train_step, make_eval_step,
                          train_model, TrainConfig)
-    from ..data import ArrayDataset
+    from ..data import ArrayDataset, make_label_head_pipeline
     from ..data.amazon import patch_tiles, bal_aug_patches
     from ..parallel import make_mesh
     from ..metrics import compute_metrics, confusion_matrix
@@ -176,9 +176,13 @@ def main(argv=None):
         train_ds, val_ds = to_ds(p[tr], r[tr]), to_ds(p[va], r[va])
     print(f"Training patches: {len(train_ds)}  Validation patches: {len(val_ds)}")
 
+    multitasking = bool(args.multitasking and args.resunet_a)
     if args.resunet_a:
+        # Multitask on Amazon (main_mabel_resuneta.py:152-201, repaired): bound/
+        # dist heads trained against labels derived on-device from the one-hot
+        # reference; no color head — HSV is undefined for 14-channel input.
         model = ResUnetA(num_classes=args.num_classes, img_size=args.patch_size,
-                         multitasking=False)
+                         multitasking=multitasking, color_head=False)
     else:
         model = UNet(num_classes=args.num_classes)
     state = create_train_state(
@@ -187,15 +191,26 @@ def main(argv=None):
         "adam", args.learning_rate)
 
     wce = weighted_categorical_crossentropy(args.class_weights)
-    loss_fns = {"seg": wce}
-    train_step = make_train_step(loss_fns, {}, multitasking=False)
-    eval_step = make_eval_step(loss_fns, {}, multitasking=False)
+    if multitasking:
+        # the reference compiles the same wce for every head with weight 1.0
+        # (main_mabel_resuneta.py:195-201)
+        loss_fns = {"seg": wce, "bound": wce, "dist": wce}
+        loss_weights = {"seg": 1.0, "bound": 1.0, "dist": 1.0}
+        preprocess = make_label_head_pipeline()
+    else:
+        loss_fns = {"seg": wce}
+        loss_weights = {}
+        preprocess = None
+    train_step = make_train_step(loss_fns, loss_weights, multitasking=multitasking,
+                                 preprocess=preprocess)
+    eval_step = make_eval_step(loss_fns, loss_weights, multitasking=multitasking,
+                               preprocess=preprocess)
 
     mesh = make_mesh() if args.gpu_parallel and jax.device_count() > 1 else None
 
     config = TrainConfig(results_path=args.results_path,
                          batch_size=args.batch_size, epochs=args.epochs,
-                         multitasking=False, patience=10, delta=1e-4,
+                         multitasking=multitasking, patience=10, delta=1e-4,
                          seed=args.seed)
     t0 = time.time()
     state, history = train_model(config, state, train_step, eval_step,

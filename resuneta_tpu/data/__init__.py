@@ -4,7 +4,7 @@ from .dataset import (
     ArrayDataset,
     write_packed_dataset,
 )
-from .pipeline import make_device_pipeline
+from .pipeline import make_device_pipeline, make_label_head_pipeline
 
 __all__ = [
     "PackedDataset",
@@ -12,4 +12,5 @@ __all__ = [
     "ArrayDataset",
     "write_packed_dataset",
     "make_device_pipeline",
+    "make_label_head_pipeline",
 ]

@@ -52,3 +52,26 @@ def make_device_pipeline(num_classes: int, norm_type: int = 1,
         return jax.vmap(one_sample)(raw["image_u8"], raw["label_ids"], raw["aug"])
 
     return preprocess
+
+
+def make_label_head_pipeline():
+    """On-device multitask label derivation for float batches that already carry
+    {'image', 'seg' (one-hot)} — the Amazon multitask path
+    (amazon_py/main_mabel_resuneta.py:152-167's get_boundary_labels /
+    get_distance_labels, repaired: derived from the one-hot reference labels, not
+    the image patches, and no HSV head on 14-channel input). Fuses into the jitted
+    train step like make_device_pipeline."""
+
+    def one_sample(onehot):
+        return get_boundary_label(onehot), get_distance_label(onehot)
+
+    def preprocess(raw):
+        if "bound" in raw or "seg" not in raw:
+            return raw
+        bound, dist = jax.vmap(one_sample)(raw["seg"])
+        out = dict(raw)
+        out["bound"] = bound
+        out["dist"] = dist
+        return out
+
+    return preprocess

@@ -137,10 +137,16 @@ class UpSampleConv(nn.Module):
 
 class ResUnetA(nn.Module):
     """ResUnet-a d6 with optional multitask heads. Input NHWC, any channel count
-    (3 for ISPRS RGB, 14 for Amazon two-year stacks)."""
+    (3 for ISPRS RGB, 14 for Amazon two-year stacks).
+
+    color_head=False drops the HSV color head — the Amazon multitask setup
+    (amazon_py/main_mabel_resuneta.py:154-161 derives boundary/distance labels;
+    a color/HSV target is undefined for 14-channel input, so that head is
+    omitted rather than trained against garbage)."""
     num_classes: int
     img_size: int = 256          # build-time width for PSP level gating
     multitasking: bool = True
+    color_head: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -208,9 +214,9 @@ class ResUnetA(nn.Module):
         d = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init)(d)
         out_dist = nn.softmax(d.astype(jnp.float32), axis=-1)
 
-        # Color head (from x_comb)
-        c = nn.Conv(3, (1, 1), dtype=dt, kernel_init=_conv_init)(x_comb)
-        out_color = nn.sigmoid(c.astype(jnp.float32))
-
-        return {"seg": out_seg, "bound": out_bound, "dist": out_dist,
-                "color": out_color}
+        out = {"seg": out_seg, "bound": out_bound, "dist": out_dist}
+        if self.color_head:
+            # Color head (from x_comb)
+            c = nn.Conv(3, (1, 1), dtype=dt, kernel_init=_conv_init)(x_comb)
+            out["color"] = nn.sigmoid(c.astype(jnp.float32))
+        return out

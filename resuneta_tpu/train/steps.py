@@ -30,18 +30,12 @@ METRICS_SINGLE = [
 
 
 def _multitask_total(loss_fns, loss_weights, outputs, batch):
-    per_head = {
-        "seg": loss_fns["seg"](batch["seg"], outputs["seg"]),
-        "bound": loss_fns["bound"](batch["bound"], outputs["bound"]),
-        "dist": loss_fns["dist"](batch["dist"], outputs["dist"]),
-        "color": loss_fns["color"](batch["color"], outputs["color"]),
-    }
-    total = (
-        per_head["seg"] * loss_weights["seg"]
-        + per_head["bound"] * loss_weights["bound"]
-        + per_head["dist"] * loss_weights["dist"]
-        + per_head["color"] * loss_weights["color"]
-    )
+    """Weighted sum over whatever heads the model actually produced — the full
+    seg/bound/dist/color set for ISPRS, seg/bound/dist for Amazon multitask
+    (no HSV target on 14-channel input)."""
+    heads = [h for h in ("seg", "bound", "dist", "color") if h in outputs]
+    per_head = {h: loss_fns[h](batch[h], outputs[h]) for h in heads}
+    total = sum(per_head[h] * loss_weights.get(h, 1.0) for h in heads)
     return total, per_head
 
 
@@ -49,9 +43,10 @@ def _metrics_row(multitasking, total, per_head, seg_pred, seg_true):
     acc = categorical_accuracy(seg_true, seg_pred)
     tp, fp, tn, fn = binary_counts(seg_true, seg_pred)
     if multitasking:
+        zero = jnp.zeros((), total.dtype)
         return jnp.stack([
             total, per_head["seg"], per_head["bound"], per_head["dist"],
-            per_head["color"], acc, tp, fp, tn, fn,
+            per_head.get("color", zero), acc, tp, fp, tn, fn,
         ])
     return jnp.stack([total, acc, tp, fp, tn, fn])
 

@@ -70,6 +70,42 @@ class TestAmazonTrainEval:
         assert os.path.isdir(results / "best_model.ckpt")
         assert os.path.exists(results / "prob_reconstructed.npy")
 
+    def test_train_multitask_resuneta(self, tmp_path):
+        """The main_mabel_resuneta.py capability (repaired): ResUnet-a with
+        bound/dist heads on Amazon, labels derived on-device from the one-hot
+        reference; no color head on multi-band input. Needs 64px patches (the
+        ResUnet-a encoder bottoms out at H/32, so 32px has no PSP plane — the
+        reference Keras graph has the same floor)."""
+        from resuneta_tpu.cli.train_amazon import main
+        # bigger scene: 5x3 tile grid of 64x64 tiles
+        root = tmp_path / "amazon_big"
+        (root / "labels").mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        H, W = 320, 192
+        for name in ("t1", "t2"):
+            np.save(root / f"{name}.npy",
+                    rng.standard_normal((2, H, W)).astype(np.float32))
+        ref = np.zeros((H, W), np.uint8)
+        for r0, c0 in ((10, 10), (80, 80), (150, 20), (210, 120), (270, 60)):
+            ref[r0:r0 + 24, c0:c0 + 24] = 1
+        np.save(root / "labels" / "ref2019.npy", ref)
+        np.save(root / "labels" / "past.npy", np.zeros((H, W), np.uint8))
+
+        results = tmp_path / "mabel"
+        state, history = main(_common_args(root) + [
+            "-ps", "64", "--resunet_a", "True", "--multitasking", "True",
+            "-rp", str(results), "-bs", "4", "--epochs", "1",
+            "--stride", "32", "--percent", "2", "--area", "4",
+            "--train_tiles", "1", "4", "7", "--val_tiles", "11",
+            "--test_tiles", "2", "5",
+        ])
+        assert len(history) == 1
+        row = history[0]["val"]
+        for k in ("seg_loss", "bound_loss", "dist_loss"):
+            assert np.isfinite(row[k]), k
+        assert row["color_loss"] == 0.0  # head deliberately absent
+        assert os.path.exists(results / "prob_reconstructed.npy")
+
     def test_train_from_preprocessed_then_test_cli(self, amazon_root, tmp_path):
         from resuneta_tpu.cli.preprocess_amazon import main as prep
         from resuneta_tpu.cli.train_amazon import main as train
