@@ -8,10 +8,14 @@ on-device augmentation + boundary/distance/HSV label generation -> forward/backw
 np.load of 5 float32 tensors + Keras train_on_batch, train_ISPRS.py:115-148).
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6;
-BASELINE.json "published" is empty). We anchor against an estimated 15 patches/s
-for the TF-Keras reference at batch 4 on a single modern GPU (42M-param dense
-256px model, train_on_batch + serial per-patch disk I/O on the critical path) —
-the BASELINE.json north star asks for >= 5x that.
+BASELINE.json "published" is empty). We anchor against 15 patches/s for the
+TF-Keras reference at batch 4 on a single modern GPU. That number is grounded in
+measurement (see BENCH_NOTES.md "Measured reference baseline"): the reference's
+own graph runs at a measured 0.128 patches/s on this machine's CPU
+(tools/measure_tf_baseline.py), and XLA cost analysis puts the step at 2.37e11
+FLOP/patch, so 15 patches/s corresponds to the reference sustaining 3.6 TFLOP/s
+(~23% of V100 f32 peak) — a generous single-GPU equivalent. The BASELINE.json
+north star asks for >= 5x that.
 """
 
 import json

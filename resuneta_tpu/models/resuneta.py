@@ -31,6 +31,9 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.fused_bn import bn_stats
+from .norm import BatchNorm
+
 Dtype = Any
 
 _conv_init = nn.initializers.glorot_uniform()
@@ -42,34 +45,37 @@ class ConvBN(nn.Module):
     kernel: tuple = (1, 1)
     strides: tuple = (1, 1)
     dtype: Dtype = jnp.float32
+    act: bool = False  # fuse the caller's following ReLU into the BN apply
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel, strides=self.strides, padding="SAME",
                     dtype=self.dtype, kernel_init=_conv_init)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                         dtype=self.dtype)(x)
+        x = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                      act=self.act)(x, train)
         return x
 
 
 class ResBlockA(nn.Module):
-    """Multi-dilation residual block: identity + sum of pre-activation branches."""
+    """Multi-dilation residual block: identity + sum of pre-activation branches
+    (model2.py:17-31). Every branch's first BN normalizes the SAME block input,
+    so its batch statistics are computed once and shared across branches; the
+    BN->ReLU pairs run on the fused apply path (ops/fused_bn.py)."""
     features: int
     dilation_rates: Sequence[int]
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        shared = bn_stats(x) if train else None
         out = x
         for d in self.dilation_rates:
-            b = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype)(x)
-            b = nn.relu(b)
+            b = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                          act=True)(x, train, stats=shared)
             b = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d), padding="SAME",
                         dtype=self.dtype, kernel_init=_conv_init)(b)
-            b = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype)(b)
-            b = nn.relu(b)
+            b = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                          act=True)(b, train)
             b = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d), padding="SAME",
                         dtype=self.dtype, kernel_init=_conv_init)(b)
             out = out + b
@@ -96,6 +102,7 @@ class PSPPooling(nn.Module):
     features: int
     img_width: int  # build-time INPUT image width (gates the pool levels)
     dtype: Dtype = jnp.float32
+    act: bool = False  # fuse the caller's following ReLU into the final ConvBN
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,7 +118,7 @@ class PSPPooling(nn.Module):
             p = ConvBN(quarter, dtype=self.dtype)(p, train)
             pooled.append(p)
         x = jnp.concatenate(pooled + [x], axis=-1)
-        return ConvBN(self.features, dtype=self.dtype)(x, train)
+        return ConvBN(self.features, dtype=self.dtype, act=self.act)(x, train)
 
 
 class Combine(nn.Module):
@@ -167,8 +174,7 @@ class ResUnetA(nn.Module):
         x = nn.Conv(1024, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
         x = ResBlockA(1024, [1], dtype=dt)(x, train)
 
-        x = PSPPooling(1024, self.img_size, dtype=dt)(x, train)
-        x = nn.relu(x)
+        x = PSPPooling(1024, self.img_size, dtype=dt, act=True)(x, train)
 
         # decoder: (up-filters, combine/RB filters, dilations, skip)
         for up_f, f, dil, skip in (
@@ -183,8 +189,7 @@ class ResUnetA(nn.Module):
             x = ResBlockA(f, dil, dtype=dt)(x, train)
 
         x_comb = Combine(32, dtype=dt)(x, c1, train)
-        x_psp = PSPPooling(32, self.img_size, dtype=dt)(x_comb, train)
-        x_psp = nn.relu(x_psp)
+        x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(x_comb, train)
 
         if not self.multitasking:
             logits = nn.Conv(self.num_classes, (1, 1), dtype=dt,

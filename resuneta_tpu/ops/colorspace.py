@@ -14,11 +14,34 @@ import jax.numpy as jnp
 
 # OpenCV's fixed-point division tables for 8-bit RGB2HSV (imgproc color_hsv:
 # hsv_shift = 12, sdiv[i] = round(255<<12 / i), hdiv[i] = round(180<<12 / (6i))).
+# Kept as numpy arrays for tests/host use; the device path computes the table
+# values arithmetically instead — a 256-entry gather over a megapixel batch
+# lowers to an embarrassingly slow scatter/gather loop on TPU (profiled at
+# 2x8.6 ms/step, the two largest ops in the entire train program), while the
+# equivalent round-half-even division is a handful of VPU ops.
 _HSV_SHIFT = 12
 _SDIV = np.zeros(256, np.int32)
 _HDIV = np.zeros(256, np.int32)
 _SDIV[1:] = np.round((255 << _HSV_SHIFT) / np.arange(1, 256, dtype=np.float64))
 _HDIV[1:] = np.round((180 << _HSV_SHIFT) / (6.0 * np.arange(1, 256, dtype=np.float64)))
+
+
+def _round_div_half_even(num: int, den):
+    """round(num / den) with ties to even — cvRound semantics — for a python-int
+    numerator and an int32 array denominator; den == 0 maps to 0 (the tables'
+    convention). Exact integer arithmetic, no gathers.
+
+    A float32 division seeds the quotient, then an exact int32 remainder check
+    corrects it: |f32 error| < 1 for these magnitudes (num <= 255<<12 < 2^24)."""
+    den_safe = jnp.maximum(den, 1)
+    q = jnp.round(jnp.float32(num) / den_safe.astype(jnp.float32)).astype(jnp.int32)
+    rem = num - q * den_safe  # may be negative if q overshot
+    q = jnp.where(rem < 0, q - 1, q)
+    rem = jnp.where(rem < 0, rem + den_safe, rem)
+    twice = 2 * rem
+    q = jnp.where(twice > den_safe, q + 1, q)
+    q = jnp.where(twice == den_safe, q + (q & 1), q)
+    return jnp.where(den > 0, q, 0)
 
 
 def rgb_to_hsv_cv2(rgb):
@@ -34,8 +57,11 @@ def rgb_to_hsv_cv2(rgb):
     mn = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - mn
 
-    sdiv = jnp.take(jnp.asarray(_SDIV), v)
-    hdiv = jnp.take(jnp.asarray(_HDIV), diff)
+    # table values computed arithmetically (see _round_div_half_even): TPU has
+    # no fast gather, and these two lookups profiled as the costliest ops in
+    # the whole fused train step.
+    sdiv = _round_div_half_even(255 << _HSV_SHIFT, v)
+    hdiv = _round_div_half_even((180 << _HSV_SHIFT) // 6, diff)
     half = 1 << (_HSV_SHIFT - 1)
 
     s = (diff * sdiv + half) >> _HSV_SHIFT

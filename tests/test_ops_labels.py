@@ -109,6 +109,17 @@ class TestHSV:
         # fixed-point emulation is bit-exact vs OpenCV
         np.testing.assert_array_equal(ours, golden)
 
+    def test_arithmetic_division_matches_cv2_tables(self):
+        # the device path computes OpenCV's sdiv/hdiv fixed-point tables
+        # arithmetically (no gathers on TPU); must be exact for every 8-bit value
+        from resuneta_tpu.ops.colorspace import (
+            _SDIV, _HDIV, _HSV_SHIFT, _round_div_half_even)
+        idx = jnp.arange(256, dtype=jnp.int32)
+        sdiv = np.asarray(_round_div_half_even(255 << _HSV_SHIFT, idx))
+        hdiv = np.asarray(_round_div_half_even((180 << _HSV_SHIFT) // 6, idx))
+        np.testing.assert_array_equal(sdiv, _SDIV)
+        np.testing.assert_array_equal(hdiv, _HDIV)
+
     def test_hsv_roundtrip(self):
         rng = np.random.default_rng(2)
         img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
