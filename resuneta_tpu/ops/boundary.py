@@ -139,8 +139,7 @@ def get_boundary_label(label_hwc, kernel_size=(3, 3)):
             not os.environ.get("RESUNETA_NO_PALLAS_CANNY"):
         from .pallas.canny import pallas_available, boundary_label_pallas
 
-        plane = label_hwc.shape[0] * label_hwc.shape[1]
-        if pallas_available(plane):
+        if pallas_available(label_hwc.shape[0], label_hwc.shape[1]):
             bounds = boundary_label_pallas(chan_first.astype(jnp.int32))
             return jnp.moveaxis(bounds, 0, -1)
     edges = jax.vmap(canny_binary)(chan_first.astype(jnp.int32))
