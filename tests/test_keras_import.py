@@ -1,0 +1,78 @@
+"""Keras->Flax weight-import forward parity (tools/import_keras.py).
+
+Builds the reference's own Keras graph (ResUnet_a/model2.py, imported read-only
+from /root/reference), random-initializes it, imports the weights into
+resuneta_tpu.models.ResUnetA, and asserts all four heads agree on random
+inputs. This is the harness that makes the reference's trained .h5 checkpoints
+and recorded quality anchors (infos_training_train_on_batch.txt:65-117)
+checkable without retraining.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # keep TF convs bit-stable
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+tf = pytest.importorskip("tensorflow")
+
+from tools.import_keras import (build_reference_model, import_keras_weights,
+                                keras_layer_order, flax_layer_order)
+
+
+PS, NC = 64, 5
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from resuneta_tpu.models import ResUnetA
+    kmodel = build_reference_model(patch_size=PS, num_classes=NC,
+                                   multitasking=True)
+    model = ResUnetA(num_classes=NC, img_size=PS, multitasking=True)
+    return kmodel, model
+
+
+def test_layer_counts_match(pair):
+    kmodel, model = pair
+    kconvs, kbns = keras_layer_order(kmodel, multitasking=True)
+    convs, bns, _ = flax_layer_order(model, (1, PS, PS, 3))
+    assert len(kconvs) == len(convs)
+    assert len(kbns) == len(bns)
+
+
+def test_forward_parity_all_heads(pair):
+    kmodel, model = pair
+    # randomize the Keras BN statistics too, so eval mode is a real test
+    rng = np.random.default_rng(0)
+    for layer in kmodel.layers:
+        if type(layer).__name__ == "BatchNormalization":
+            g, b, m, v = layer.get_weights()
+            layer.set_weights([
+                1 + 0.1 * rng.standard_normal(g.shape).astype(np.float32),
+                0.1 * rng.standard_normal(b.shape).astype(np.float32),
+                0.2 * rng.standard_normal(m.shape).astype(np.float32),
+                (1 + 0.1 * rng.standard_normal(v.shape)).astype(np.float32),
+            ])
+
+    variables = import_keras_weights(kmodel, model, (1, PS, PS, 3),
+                                     multitasking=True)
+
+    x = rng.random((2, PS, PS, 3), np.float32)
+    kout = kmodel(tf.constant(x), training=False)
+    kout = {k: np.asarray(v) for k, v in kout.items()}
+
+    import jax.numpy as jnp
+    ours = model.apply(variables, jnp.asarray(x), train=False)
+    ours = {k: np.asarray(v) for k, v in ours.items()}
+
+    assert set(kout) == set(ours) == {"seg", "bound", "dist", "color"}
+    for head in ("seg", "bound", "dist", "color"):
+        np.testing.assert_allclose(ours[head], kout[head], rtol=5e-3, atol=2e-3,
+                                   err_msg=head)
+    # the decision surface must agree exactly almost everywhere
+    agree = np.mean(np.argmax(ours["seg"], -1) == np.argmax(kout["seg"], -1))
+    assert agree > 0.999, agree
