@@ -44,6 +44,11 @@ def build_parser():
                         help="Model family of the checkpoint")
     parser.add_argument("--max_viz_patches", type=int, default=8,
                         help="Cap on per-patch visualization grids")
+    parser.add_argument("--overlap_stride", type=int, default=None,
+                        help="Overlap-averaged reconstruction: window stride "
+                             "< patch_size averages softmax probabilities over "
+                             "all windows covering a pixel (quality option "
+                             "beyond the reference's non-overlap chop)")
     return parser
 
 
@@ -126,7 +131,15 @@ def main(argv=None):
     print("Precision: ", metrics[3])
 
     H, W = binary_ref.shape
-    img_reconstructed = reconstruct_from_patches(seg_pred, H, W, order="row")
+    if args.overlap_stride and args.overlap_stride < args.patch_size:
+        from ..infer.sliding import predict_scene_overlap
+        img_reconstructed, _ = predict_scene_overlap(
+            apply_fn, img_test_normalized, args.patch_size,
+            stride=args.overlap_stride, batch_size=args.batch_size,
+            multitask=args.use_multitasking)
+        print(f"[overlap-averaged reconstruction, stride={args.overlap_stride}]")
+    else:
+        img_reconstructed = reconstruct_from_patches(seg_pred, H, W, order="row")
     img_rgb = class_ids_to_rgb(img_reconstructed, LABEL_DICT)
 
     os.makedirs(args.output_path, exist_ok=True)

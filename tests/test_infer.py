@@ -51,3 +51,94 @@ class TestPredictScene:
                                          batch_size=4, multitask=False)
         assert class_map.shape == (32, 48)
         assert class_map[:16].min() == 1 and class_map[16:].max() == 0
+
+
+class TestPredictSceneOverlap:
+    """Overlap-averaged reconstruction (VERDICT round-1 item #10)."""
+
+    def test_stride_equals_patch_matches_chop(self):
+        from resuneta_tpu.infer.sliding import predict_scene_overlap
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(32, 48, 2)).astype(np.float32)
+        f = jax.jit(_toy_apply)
+        chop_map, _ = predict_scene(f, img, patch_size=16, batch_size=4,
+                                    multitask=False)
+        ov_map, mean = predict_scene_overlap(f, img, patch_size=16, stride=16,
+                                             batch_size=4, multitask=False)
+        np.testing.assert_array_equal(ov_map, chop_map)
+        assert mean.shape == (32, 48, 3)
+
+    def test_per_pixel_model_invariant_to_overlap(self):
+        # a model whose output depends only on the pixel value: averaging
+        # identical votes must not change anything at any stride
+        from resuneta_tpu.infer.sliding import predict_scene_overlap
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(48, 48, 2)).astype(np.float32)
+        f = jax.jit(_toy_apply)
+        chop_map, _ = predict_scene(f, img, patch_size=16, batch_size=8,
+                                    multitask=False)
+        ov_map, _ = predict_scene_overlap(f, img, patch_size=16, stride=8,
+                                          batch_size=8, multitask=False)
+        np.testing.assert_array_equal(ov_map, chop_map)
+
+    def test_averaging_changes_only_window_boundary_pixels(self):
+        # model = strong per-pixel signal + an artifact on each window's outer
+        # ring that flips the argmax. The non-overlap chop keeps the artifact on
+        # its grid seams; overlap averaging dilutes it wherever a pixel is
+        # interior to at least one covering window. Differences between the two
+        # reconstructions must therefore be (a) nonempty and (b) confined to
+        # the chop grid's ring pixels.
+        from resuneta_tpu.infer.sliding import predict_scene_overlap
+        P = 16
+
+        def apply_fn(x):
+            m = jnp.clip(jnp.round(x[..., 0]), 0, 1)  # per-pixel class {0,1}
+            logit0 = (1 - m) * 4.0
+            logit1 = m * 4.0
+            ii = jnp.arange(x.shape[1])
+            ring_r = (ii == 0) | (ii == x.shape[1] - 1)
+            ring = ring_r[None, :, None] | ring_r[None, None, :]
+            logit2 = jnp.where(ring, 10.0, -10.0) * jnp.ones(x.shape[:-1])
+            return jax.nn.softmax(
+                jnp.stack([logit0, logit1, logit2], axis=-1), axis=-1)
+
+        rng = np.random.default_rng(2)
+        img = rng.uniform(size=(48, 64, 2)).astype(np.float32)
+        f = jax.jit(apply_fn)
+        chop_map, _ = predict_scene(f, img, patch_size=P, batch_size=8,
+                                    multitask=False)
+        # stride P/4: in the scene interior every pixel is covered by 4 windows
+        # per axis and sits on the ring of at most one, so a ring vote never
+        # outweighs the signal; on the chop grid it is the only vote
+        ov_map, _ = predict_scene_overlap(f, img, patch_size=P, stride=P // 4,
+                                          batch_size=8, multitask=False)
+
+        ring_rows = np.zeros(48, bool)
+        ring_rows[np.arange(48) % P == 0] = True
+        ring_rows[np.arange(48) % P == P - 1] = True
+        ring_cols = np.zeros(64, bool)
+        ring_cols[np.arange(64) % P == 0] = True
+        ring_cols[np.arange(64) % P == P - 1] = True
+        chop_ring = ring_rows[:, None] | ring_cols[None, :]
+        interior = np.zeros((48, 64), bool)
+        interior[P:-P, P:-P] = True
+
+        diff = (ov_map != chop_map) & interior
+        assert diff.any(), "overlap averaging should repair seam artifacts"
+        assert not np.any(diff & ~chop_ring), \
+            "overlap averaging must only change window-boundary pixels"
+
+    def test_mesh_path_matches_single_device(self):
+        from resuneta_tpu.infer.sliding import predict_scene_overlap
+        assert jax.device_count() >= 8
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(3)
+        img = rng.uniform(size=(32, 32, 2)).astype(np.float32)
+        f = jax.jit(_toy_apply)
+        single, mean1 = predict_scene_overlap(f, img, patch_size=16, stride=8,
+                                              batch_size=8, multitask=False)
+        sharded, mean2 = predict_scene_overlap(f, img, patch_size=16, stride=8,
+                                               batch_size=8, mesh=mesh,
+                                               multitask=False)
+        np.testing.assert_array_equal(single, sharded)
+        np.testing.assert_allclose(mean1, mean2, atol=1e-6)
