@@ -29,13 +29,28 @@ REFERENCE_ESTIMATE_PATCHES_PER_SEC = 15.0
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+    # BENCH_MESH: "dp=8" or "dp=4,sp=2" — shard the measured step over a device
+    # mesh (batch over 'data', activation height over 'space'). On the
+    # single-real-chip environment this is exercised with BENCH_FORCE_CPU=8
+    # (virtual host devices); on real multi-chip hardware it measures scaling.
+    mesh_spec = os.environ.get("BENCH_MESH")
+    force_cpu = os.environ.get("BENCH_FORCE_CPU")
+    if force_cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count={force_cpu}")
     import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from resuneta_tpu.models import ResUnetA
     from resuneta_tpu.losses import make_losses
     from resuneta_tpu.train import create_train_state, make_train_step
     from resuneta_tpu.data import make_device_pipeline
+    from resuneta_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
+                                            shard_batch, shard_batch_spatial,
+                                            replicate_state)
 
     ps = int(os.environ.get("BENCH_PATCH_SIZE", 256))
     bs = int(os.environ.get("BENCH_BATCH_SIZE", 16))
@@ -46,9 +61,17 @@ def main():
 
     import sys
 
+    mesh = None
+    if mesh_spec:
+        parts = dict(kv.split("=") for kv in mesh_spec.split(","))
+        dp = int(parts.get("dp", 1))
+        sp = int(parts.get("sp", 1))
+        mesh = make_mesh_2d(dp, sp) if sp > 1 else make_mesh(dp)
+        bs = max(bs // dp, 1) * dp  # keep the global batch divisible
+
     dev = jax.devices()[0]
-    print(f"# device: {dev}, ps={ps}, bs={bs}, dtype={dtype.__name__}",
-          file=sys.stderr)
+    print(f"# device: {dev} x{jax.device_count()}, ps={ps}, bs={bs}, "
+          f"dtype={dtype.__name__}, mesh={mesh_spec}", file=sys.stderr)
 
     model = ResUnetA(num_classes=num_classes, img_size=ps, multitasking=True,
                      dtype=dtype)
@@ -68,6 +91,10 @@ def main():
             rng.integers(0, num_classes, (bs, ps, ps)).astype(np.uint8)),
         "aug": jnp.asarray(rng.integers(0, 5, bs).astype(np.int32)),
     }
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+        batch = (shard_batch_spatial(batch, mesh) if "space" in mesh.axis_names
+                 else shard_batch(batch, mesh))
 
     # warmup / compile
     for _ in range(3):
@@ -81,8 +108,11 @@ def main():
     dt = time.perf_counter() - t0
 
     patches_per_sec = bs * steps / dt
+    label = f"train patches/sec/chip ({ps}px multitask)"
+    if mesh is not None:
+        label = f"train patches/sec ({ps}px multitask, mesh {mesh_spec})"
     result = {
-        "metric": f"train patches/sec/chip ({ps}px multitask)",
+        "metric": label,
         "value": round(patches_per_sec, 2),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 2),

@@ -30,6 +30,7 @@ from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.fused_bn import bn_stats
 from .norm import BatchNorm
@@ -37,6 +38,16 @@ from .norm import BatchNorm
 Dtype = Any
 
 _conv_init = nn.initializers.glorot_uniform()
+
+
+def _save(x):
+    """Tag a tensor as a rematerialization boundary. Under the train step's
+    remat policy (train/steps.py SAVE_CONVS), only tagged tensors (conv/pool
+    outputs and BN statistics) are kept for the backward pass; every
+    elementwise segment between them (BN apply, ReLU, residual adds, masks) is
+    recomputed fused into its consumer instead of being written to and re-read
+    from HBM — a pure win on a bandwidth-bound chip. A no-op outside remat."""
+    return checkpoint_name(x, "save")
 
 
 class ConvBN(nn.Module):
@@ -49,8 +60,9 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, self.kernel, strides=self.strides, padding="SAME",
-                    dtype=self.dtype, kernel_init=_conv_init)(x)
+        x = _save(nn.Conv(self.features, self.kernel, strides=self.strides,
+                          padding="SAME", dtype=self.dtype,
+                          kernel_init=_conv_init)(x))
         x = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                       act=self.act)(x, train)
         return x
@@ -72,12 +84,14 @@ class ResBlockA(nn.Module):
         for d in self.dilation_rates:
             b = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                           act=True)(x, train, stats=shared)
-            b = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d), padding="SAME",
-                        dtype=self.dtype, kernel_init=_conv_init)(b)
+            b = _save(nn.Conv(self.features, (3, 3), kernel_dilation=(d, d),
+                              padding="SAME", dtype=self.dtype,
+                              kernel_init=_conv_init)(b))
             b = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                           act=True)(b, train)
-            b = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d), padding="SAME",
-                        dtype=self.dtype, kernel_init=_conv_init)(b)
+            b = _save(nn.Conv(self.features, (3, 3), kernel_dilation=(d, d),
+                              padding="SAME", dtype=self.dtype,
+                              kernel_init=_conv_init)(b))
             out = out + b
         return out
 
@@ -114,7 +128,7 @@ class PSPPooling(nn.Module):
         quarter = self.features // 4
         pooled = []
         for k in levels:
-            p = _upsample_nearest(_max_pool(x, k), k)
+            p = _upsample_nearest(_save(_max_pool(x, k)), k)
             p = ConvBN(quarter, dtype=self.dtype)(p, train)
             pooled.append(p)
         x = jnp.concatenate(pooled + [x], axis=-1)
@@ -161,17 +175,22 @@ class ResUnetA(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
 
-        c1 = x = nn.Conv(32, (1, 1), dtype=dt, kernel_init=_conv_init)(x)
+        c1 = x = _save(nn.Conv(32, (1, 1), dtype=dt, kernel_init=_conv_init)(x))
         c2 = x = ResBlockA(32, [1, 3, 15, 31], dtype=dt)(x, train)
-        x = nn.Conv(64, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        x = _save(nn.Conv(64, (1, 1), strides=(2, 2), dtype=dt,
+                          kernel_init=_conv_init)(x))
         c3 = x = ResBlockA(64, [1, 3, 15, 31], dtype=dt)(x, train)
-        x = nn.Conv(128, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        x = _save(nn.Conv(128, (1, 1), strides=(2, 2), dtype=dt,
+                          kernel_init=_conv_init)(x))
         c4 = x = ResBlockA(128, [1, 3, 15], dtype=dt)(x, train)
-        x = nn.Conv(256, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        x = _save(nn.Conv(256, (1, 1), strides=(2, 2), dtype=dt,
+                          kernel_init=_conv_init)(x))
         c5 = x = ResBlockA(256, [1, 3, 15], dtype=dt)(x, train)
-        x = nn.Conv(512, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        x = _save(nn.Conv(512, (1, 1), strides=(2, 2), dtype=dt,
+                          kernel_init=_conv_init)(x))
         c6 = x = ResBlockA(512, [1], dtype=dt)(x, train)
-        x = nn.Conv(1024, (1, 1), strides=(2, 2), dtype=dt, kernel_init=_conv_init)(x)
+        x = _save(nn.Conv(1024, (1, 1), strides=(2, 2), dtype=dt,
+                          kernel_init=_conv_init)(x))
         x = ResBlockA(1024, [1], dtype=dt)(x, train)
 
         x = PSPPooling(1024, self.img_size, dtype=dt, act=True)(x, train)
@@ -192,36 +211,38 @@ class ResUnetA(nn.Module):
         x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(x_comb, train)
 
         if not self.multitasking:
-            logits = nn.Conv(self.num_classes, (1, 1), dtype=dt,
-                             kernel_init=_conv_init)(x_psp)
+            logits = _save(nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                                   kernel_init=_conv_init)(x_psp))
             return nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         # Segmentation head (from x_psp)
-        s = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                            kernel_init=_conv_init, name="seg1")(x_psp))
-        s = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                            kernel_init=_conv_init, name="seg2")(s))
-        s = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init,
-                    name="seg3")(s)
+        s = nn.relu(_save(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                                  kernel_init=_conv_init, name="seg1")(x_psp)))
+        s = nn.relu(_save(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                                  kernel_init=_conv_init, name="seg2")(s)))
+        s = _save(nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                          kernel_init=_conv_init, name="seg3")(s))
         out_seg = nn.softmax(s.astype(jnp.float32), axis=-1)
 
         # Boundary head (from x_psp)
-        b = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                            kernel_init=_conv_init)(x_psp))
-        b = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init)(b)
+        b = nn.relu(_save(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                                  kernel_init=_conv_init)(x_psp)))
+        b = _save(nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                          kernel_init=_conv_init)(b))
         out_bound = nn.sigmoid(b.astype(jnp.float32))
 
         # Distance head (from x_comb — pre-PSP, per model2.py:174)
-        d = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                            kernel_init=_conv_init)(x_comb))
-        d = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                            kernel_init=_conv_init)(d))
-        d = nn.Conv(self.num_classes, (1, 1), dtype=dt, kernel_init=_conv_init)(d)
+        d = nn.relu(_save(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                                  kernel_init=_conv_init)(x_comb)))
+        d = nn.relu(_save(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                                  kernel_init=_conv_init)(d)))
+        d = _save(nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                          kernel_init=_conv_init)(d))
         out_dist = nn.softmax(d.astype(jnp.float32), axis=-1)
 
         out = {"seg": out_seg, "bound": out_bound, "dist": out_dist}
         if self.color_head:
             # Color head (from x_comb)
-            c = nn.Conv(3, (1, 1), dtype=dt, kernel_init=_conv_init)(x_comb)
+            c = _save(nn.Conv(3, (1, 1), dtype=dt, kernel_init=_conv_init)(x_comb))
             out["color"] = nn.sigmoid(c.astype(jnp.float32))
         return out

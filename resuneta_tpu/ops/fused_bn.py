@@ -40,7 +40,10 @@ def bn_stats(x):
     xs = x.astype(jnp.float32)
     mean = jnp.mean(xs, axes)
     msq = jnp.mean(xs * xs, axes)
-    return mean, msq - mean * mean
+    # tagged as remat save points: (C,)-sized, and recomputing them in the
+    # backward would cost a full extra pass over x (train/steps.py SAVE_CONVS)
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(mean, "save"), checkpoint_name(msq - mean * mean, "save")
 
 
 def _apply_expr(relu, eps, x, gamma, beta, mean, var):
@@ -102,7 +105,16 @@ def _bn_apply_bwd(relu, eps, res, g):
 bn_apply.defvjp(_bn_apply_fwd, _bn_apply_bwd)
 
 
+import os
+
+_PLAIN_BN = bool(os.environ.get("RESUNETA_PLAIN_BN"))
+
+
 def batch_norm_act(x, gamma, beta, mean, var, *, eps=1e-3, relu=False):
     """Functional fused BN(+ReLU). See BatchNorm in models/norm.py for the
-    Flax module wrapper with running-statistics bookkeeping."""
+    Flax module wrapper with running-statistics bookkeeping.
+    RESUNETA_PLAIN_BN=1 switches to the plain autodiff expression (A/B lever
+    for interactions with rematerialization policies)."""
+    if _PLAIN_BN:
+        return _apply_expr(relu, eps, x, gamma, beta, mean, var)
     return bn_apply(relu, eps, x, gamma, beta, mean, var)

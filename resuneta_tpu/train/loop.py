@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from .steps import METRICS_MULTITASK, METRICS_SINGLE
-from .checkpoint import save_best
+from .checkpoint import save_best, AsyncSaver
 from ..metrics import compute_mcc
 from ..parallel.mesh import shard_batch
 from ..utils.table import ascii_table
@@ -36,6 +36,8 @@ class TrainConfig:
     verbose: bool = True
     checkpoint_name: str = "best_model.ckpt"
     profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0 when set
+    async_checkpoint: bool = True      # non-blocking orbax saves
+    keep_last: int = 0                 # also keep the last N epoch checkpoints
 
 
 def _writers(config):
@@ -109,6 +111,13 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
     cont = 0
     rng = np.random.default_rng(config.seed)
     history = []
+    saver = AsyncSaver(keep_last=config.keep_last) \
+        if (config.async_checkpoint or config.keep_last) else None
+
+    def _finish(ret):
+        if saver is not None:
+            saver.close()
+        return ret
 
     for epoch in range(config.epochs):
         t0 = time.time()
@@ -196,12 +205,18 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
             if cont >= config.patience:
                 if config.verbose:
                     print("Early Stopping! \t Training Stopped")
-                return state, history
+                return _finish((state, history))
         else:
             cont = 0
             min_loss = val_loss
             if config.verbose:
                 print("Saving best model...")
-            save_best(ckpt_path, state, epoch, min_loss)
+            if saver is not None:
+                saver.save_best(ckpt_path, state, epoch, min_loss)
+            else:
+                save_best(ckpt_path, state, epoch, min_loss)
+        if saver is not None and config.keep_last:
+            saver.save_epoch(os.path.join(config.results_path, "checkpoints"),
+                             state, epoch)
 
-    return state, history
+    return _finish((state, history))

@@ -18,6 +18,17 @@ import jax.numpy as jnp
 
 from ..metrics import categorical_accuracy, binary_counts
 
+# Rematerialization policy for the model forward inside the train step: keep
+# only tensors tagged "save" (conv/pool outputs and BN statistics —
+# models/resuneta.py _save) and recompute every elementwise segment between
+# them during the backward pass. MEASURED NEGATIVE on the v5e bench (75.8 ->
+# 67.8 patches/s with the closed-form BN, 64.1 with plain BN): XLA's remat
+# scheduling duplicates passes instead of fusing recompute into consumers
+# here. Kept as an opt-in (make_train_step(remat=True)) — it reduces peak
+# activation memory ~2x, which matters for large-batch/512px configs that
+# otherwise OOM, and for future XLA versions to re-evaluate.
+SAVE_CONVS = jax.checkpoint_policies.save_only_these_names("save")
+
 METRICS_MULTITASK = [
     "loss", "seg_loss", "bound_loss", "dist_loss", "color_loss",
     "seg_accuracy", "seg_true_positives", "seg_false_positives",
@@ -52,24 +63,31 @@ def _metrics_row(multitasking, total, per_head, seg_pred, seg_true):
 
 
 def make_train_step(loss_fns: Dict, loss_weights: Dict, multitasking: bool,
-                    preprocess=None, donate: bool = True):
+                    preprocess=None, donate: bool = True, remat: bool = False):
     """Returns train_step(state, batch) -> (state, metrics_row).
 
     batch: dict with 'image' plus label heads ('seg' [+ 'bound','dist','color']).
     `preprocess` optionally maps the raw (e.g. uint8 packed) batch to the model
     batch on-device — the fused augment/normalize/label-gen pipeline plugs in here
     so everything from uint8 patches to gradients is ONE compiled program.
+    `remat` applies the SAVE_CONVS rematerialization policy to the forward.
     """
 
     def train_step(state, batch):
         if preprocess is not None:
             batch = preprocess(batch)
 
-        def loss_fn(params):
-            outputs, mutated = state.apply_fn(
+        def forward(params, image):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], train=True, mutable=["batch_stats"],
+                image, train=True, mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward, policy=SAVE_CONVS)
+
+        def loss_fn(params):
+            outputs, mutated = forward(params, batch["image"])
             if multitasking:
                 total, per_head = _multitask_total(loss_fns, loss_weights, outputs, batch)
             else:

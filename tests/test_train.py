@@ -1,6 +1,7 @@
 """Training runtime tests: jitted steps, packed on-device pipeline, mesh data
 parallelism on the virtual 8-device CPU mesh, checkpoint/resume, epoch loop."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -148,3 +149,32 @@ class TestLoop:
         assert "loss" in history[0]["train"]
         import os
         assert os.path.exists(str(tmp_path / "results" / "best_model.ckpt"))
+
+
+class TestAsyncCheckpoint:
+    def test_async_best_and_keep_last(self, tmp_path):
+        import jax, jax.numpy as jnp
+        from resuneta_tpu.models import UNet
+        from resuneta_tpu.train import create_train_state, checkpoint
+
+        model = UNet(num_classes=3, base_filters=4)
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 3),
+                                   "adam", 1e-3)
+        root = tmp_path / "ckpts"
+        with checkpoint.AsyncSaver(keep_last=2) as saver:
+            saver.save_best(str(tmp_path / "best.ckpt"), state, epoch=0,
+                            min_loss=1.0)
+            for e in range(4):
+                saver.save_epoch(str(root), state, epoch=e)
+            saver.wait()
+        kept = sorted(d for d in os.listdir(root) if d.startswith("epoch_"))
+        assert kept == ["epoch_2", "epoch_3"]
+        # best checkpoint restores into a fresh state
+        state2 = create_train_state(model, jax.random.PRNGKey(1), (1, 16, 16, 3),
+                                    "adam", 1e-3)
+        restored, meta = checkpoint.restore(str(tmp_path / "best.ckpt"), state2)
+        assert meta["epoch"] == 0
+        import numpy as np
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
