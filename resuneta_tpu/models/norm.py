@@ -31,7 +31,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+                 stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 return_affine: bool = False):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -48,6 +49,13 @@ class BatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         else:
             mean, var = ra_mean.value, ra_var.value
+
+        if return_affine:
+            # the (a, b) of y = x*a + b, for consumers that fuse the affine
+            # (+ ReLU) into their own kernel (models/resuneta.py Conv prologue)
+            import jax
+            invstd = jax.lax.rsqrt(var + self.epsilon)
+            return scale * invstd, bias - mean * scale * invstd
 
         return batch_norm_act(x, scale, bias, mean, var,
                               eps=self.epsilon, relu=self.act)

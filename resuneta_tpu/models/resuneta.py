@@ -28,6 +28,7 @@ BN statistics stay float32.
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from jax.ad_checkpoint import checkpoint_name
@@ -48,6 +49,50 @@ def _save(x):
     recomputed fused into its consumer instead of being written to and re-read
     from HBM — a pure win on a bandwidth-bound chip. A no-op outside remat."""
     return checkpoint_name(x, "save")
+
+
+class Conv(nn.Module):
+    """nn.Conv-compatible convolution (same parameter names/shapes/init, same
+    Flax auto-naming, so checkpoints and the Keras importer are unaffected)
+    with an optional fused BN-affine(+ReLU) prologue: on the TPU eval path
+    ResBlockA passes the BatchNorm's (a, b) and the whole
+    act(x*a+b) -> dilated-conv segment runs as one Pallas kernel
+    (ops/pallas/convseg.py) instead of materializing the activation."""
+    features: int
+    kernel_size: tuple = (3, 3)
+    kernel_dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, prologue=None, act: bool = True):
+        C = x.shape[-1]
+        kernel = self.param("kernel", _conv_init,
+                            self.kernel_size + (C, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        d = self.kernel_dilation
+
+        if prologue is not None and self.kernel_size == (3, 3):
+            from ..ops.pallas import convseg
+            a, b = prologue
+            if convseg.pallas_available(x.shape[1], x.shape[2], C,
+                                        self.features, d):
+                return convseg.bn_act_conv_pallas(
+                    x, a, b, kernel, bias, dilation=d, act=act)
+            x = x * a.astype(x.dtype) + b.astype(x.dtype)
+            if act:
+                x = nn.relu(x)
+
+        # match nn.Conv's dtype semantics: compute-dtype conv output (f32
+        # accumulation stays internal to the MXU), compute-dtype bias add —
+        # a float32 preferred_element_type here would double the write traffic
+        # of every branch conv
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), "SAME",
+            rhs_dilation=(d, d), dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
 
 
 class ConvBN(nn.Module):
@@ -82,16 +127,22 @@ class ResBlockA(nn.Module):
         shared = bn_stats(x) if train else None
         out = x
         for d in self.dilation_rates:
-            b = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
-                          act=True)(x, train, stats=shared)
-            b = _save(nn.Conv(self.features, (3, 3), kernel_dilation=(d, d),
-                              padding="SAME", dtype=self.dtype,
-                              kernel_init=_conv_init)(b))
-            b = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
-                          act=True)(b, train)
-            b = _save(nn.Conv(self.features, (3, 3), kernel_dilation=(d, d),
-                              padding="SAME", dtype=self.dtype,
-                              kernel_init=_conv_init)(b))
+            bn1 = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                            act=True)
+            conv1 = Conv(self.features, (3, 3), kernel_dilation=d,
+                         dtype=self.dtype)
+            bn2 = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                            act=True)
+            conv2 = Conv(self.features, (3, 3), kernel_dilation=d,
+                         dtype=self.dtype)
+            if train:
+                b = _save(conv1(bn1(x, train, stats=shared)))
+                b = _save(conv2(bn2(b, train)))
+            else:
+                # eval: BN is an affine of running stats — hand it to the conv
+                # as a prologue so the whole segment can fuse into one kernel
+                b = conv1(x, prologue=bn1(x, False, return_affine=True))
+                b = conv2(b, prologue=bn2(b, False, return_affine=True))
             out = out + b
         return out
 

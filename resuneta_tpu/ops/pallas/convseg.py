@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused BN-affine -> ReLU -> dilated 3x3 conv (+bias).
+
+The ResBlock branch segment (ResUnet_a/model2.py:17-24 BN->ReLU->Conv(d)) is
+the reference's hot loop, and SURVEY.md §2.2 calls for exactly this fusion. XLA
+cannot fuse elementwise producers into convolution ops, so the normalized
+activation z = act(x*a + b) is otherwise materialized to HBM and re-read by the
+conv — two whole feature-map passes per segment. This kernel computes
+
+    y = conv_{3x3, dilation d, SAME}(act(x * a + b)) @ W + bias
+
+in one pass with z living only in VMEM.
+
+Layout strategy (the whole trick): C < 128 channels on the lane dimension pad
+VMEM 128/C-fold, so the kernel works on DENSE (rows, W*C) views instead —
+  * the (N, H, W, C) -> (N, H, W*C) reshape is free (row-major bitcast), and
+    every VMEM buffer is fully lane-packed;
+  * a column shift by kj pixels is a 32-bit lane rotate by kj*C lanes (f32);
+  * the per-tap (M, C) x (C, C) matmul becomes (M*C/128-groups): each 128-lane
+    group holds g = 128/C pixels, multiplied by a block-diagonal
+    (128, 128) = diag(W_tap, ... g times ...) weight — g-fold redundant FLOPs
+    on an MXU running at full width, instead of a C-wide matmul at C/128
+    utilization.
+
+Row tiling: each grid program DMAs a (tile + 2*d_up, W*C) row window from HBM
+(d_up = dilation rounded up to sublane alignment; the caller pads zero rows so
+windows never clamp), computes the 9 taps at static row offsets, and writes one
+(tile, W*C) output block. Padded/outside rows and wrapped columns are masked to
+zero — exactly the conv's SAME zero padding of z.
+
+Used on the inference/eval path (models/resuneta.py ResBlockA) where BN is a
+per-channel affine of the running statistics."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+MAX_CHANNELS = 128
+# estimator budget: hardware showed actual scoped-vmem ~1.5x this estimate
+# (double-buffered output block + scheduler margins), so stay well under 16 MB
+_VMEM_BUDGET = int(7e6)
+
+
+def _dup(d):
+    return (d + 7) // 8 * 8
+
+
+def _plan_tile(H, W, C, d):
+    """Row-tile height; the DMA window + f32 working slices must fit VMEM."""
+    lanes = W * C
+    tile = 128
+    while tile >= 8:
+        win = tile + 2 * _dup(d)
+        need = (win * lanes * 2            # bf16 input window
+                + 3 * tile * lanes * 4    # f32 z-slice + shifted copy + acc
+                + tile * lanes * 2        # output block
+                + 9 * 128 * 128 * 4)     # block-diagonal taps
+        if H % tile == 0 and need <= _VMEM_BUDGET:
+            return tile
+        tile //= 2
+    return None
+
+
+def pallas_available(H, W, C, Cout, d):
+    import os
+    if os.environ.get("RESUNETA_NO_PALLAS") or \
+            os.environ.get("RESUNETA_NO_PALLAS_CONVSEG"):
+        return False
+    return (_PALLAS_OK and jax.default_backend() == "tpu"
+            and C == Cout and C <= MAX_CHANNELS and 128 % C == 0
+            and (W * C) % 128 == 0 and _plan_tile(H, W, C, d) is not None)
+
+
+def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
+                    *, H, W, C, tile, d, act, pad):
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    lanes = W * C
+    dup = _dup(d)
+    win = tile + 2 * dup
+    # input rows [t*tile - dup, ...) of the image = [pad + t*tile - dup, ...)
+    # of the padded array; pad, tile, dup are all sublane-aligned
+    start = pl.multiple_of(pad + t * tile - dup, 8)
+    copy = pltpu.make_async_copy(in_hbm.at[i, pl.ds(start, win), :], buf, sem)
+    copy.start()
+    copy.wait()
+
+    a = at_ref[0]
+    b = bt_ref[0]
+    row0 = t * tile  # global image row of output row 0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1) // C  # pixel col
+
+    acc = jnp.zeros((tile * lanes // 128, 128), jnp.float32)
+    for ti, ki in enumerate((-d, 0, d)):
+        # z for the rows feeding this tap: affine + act in f32, zero outside
+        # the image (conv SAME padding of z, NOT act(b))
+        rows = buf[pl.ds(dup + ki, tile), :].astype(jnp.float32)
+        z = rows * a + b
+        if act:
+            z = jnp.maximum(z, 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 0) + row0 + ki
+        z = jnp.where((ii >= 0) & (ii < H), z, 0.0)
+        for tj, kj in enumerate((-d, 0, d)):
+            if kj == 0:
+                zs = z
+            else:
+                zs = pltpu.roll(z, (-kj * C) % lanes, axis=1)
+                zs = jnp.where((jj + kj >= 0) & (jj + kj < W), zs, 0.0)
+            wk = w_ref[ti, tj].astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                zs.reshape(tile * lanes // 128, 128).astype(jnp.bfloat16), wk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    y = acc + bias_ref[0]
+    out_ref[0] = y.reshape(tile, lanes).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "act", "interpret"))
+def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
+                       interpret: bool = False):
+    """y = conv_{3x3,d,SAME}(act(x*a + b)) @ w + bias, fused.
+
+    x: (N, H, W, C); a, b: (C,) affine (gamma*invstd, beta - mean*gamma*invstd);
+    w: (3, 3, C, C) HWIO; bias: (C,). Returns (N, H, W, C) in x.dtype.
+    """
+    N, H, Wd, C = x.shape
+    d = dilation
+    tile = _plan_tile(H, Wd, C, d)
+    if tile is None:
+        raise ValueError(f"no tile plan for ({H},{Wd},{C}) d={d}; "
+                         "guard with pallas_available()")
+    T = H // tile
+    lanes = Wd * C
+    g = 128 // C
+    pad = max(_dup(d), 8)
+
+    xf = jnp.pad(x.reshape(N, H, lanes), ((0, 0), (pad, pad), (0, 0)))
+    a_t = jnp.tile(a.astype(jnp.float32), Wd).reshape(1, lanes)
+    b_t = jnp.tile(b.astype(jnp.float32), Wd).reshape(1, lanes)
+    bias_t = jnp.tile(bias.astype(jnp.float32), g).reshape(1, 128)
+    eye = jnp.eye(g, dtype=w.dtype)
+    # (3, 3, 128, 128) block-diagonal taps: kron(I_g, w[ki, kj])
+    wblk = jnp.einsum("ab,ijcd->ijacbd", eye, w.astype(jnp.float32)).reshape(
+        3, 3, 128, 128)
+
+    kernel = functools.partial(_segment_kernel, H=H, W=Wd, C=C, tile=tile,
+                               d=d, act=act, pad=pad)
+    rep = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N, T),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rep, rep, rep, rep],
+        out_specs=pl.BlockSpec((1, tile, lanes), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, lanes), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _dup(d), lanes), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xf, a_t, b_t, wblk, bias_t)
+    return out.reshape(N, H, Wd, C)

@@ -45,6 +45,7 @@ def flax_layer_order(model, input_shape):
     import jax.numpy as jnp
     import flax.linen as nn
     from resuneta_tpu.models.norm import BatchNorm
+    from resuneta_tpu.models.resuneta import Conv as FusableConv
 
     convs, bns = [], []
 
@@ -52,7 +53,7 @@ def flax_layer_order(model, input_shape):
         mod = context.module
         if context.method_name == "__call__" and mod.path:
             path = tuple(mod.path)
-            if isinstance(mod, nn.Conv) and path not in convs:
+            if isinstance(mod, (nn.Conv, FusableConv)) and path not in convs:
                 convs.append(path)
             elif isinstance(mod, BatchNorm) and path not in bns:
                 bns.append(path)
