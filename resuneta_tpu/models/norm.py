@@ -32,7 +32,7 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                 return_affine: bool = False):
+                 return_affine: bool = False, return_raw: bool = False):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -49,6 +49,12 @@ class BatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         else:
             mean, var = ra_mean.value, ra_var.value
+
+        if return_raw:
+            # (scale, bias, mean, var) for consumers that fuse the whole
+            # normalization into their own kernel with a custom VJP
+            # (ops/pallas/convseg.fused_segment); running stats updated above
+            return scale, bias, mean, var
 
         if return_affine:
             # the (a, b) of y = x*a + b, for consumers that fuse the affine

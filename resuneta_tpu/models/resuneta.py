@@ -64,13 +64,28 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, prologue=None, act: bool = True):
+    def __call__(self, x, prologue=None, bn_raw=None, act: bool = True):
         C = x.shape[-1]
         kernel = self.param("kernel", _conv_init,
                             self.kernel_size + (C, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         d = self.kernel_dilation
+
+        if bn_raw is not None and self.kernel_size == (3, 3):
+            # training path: (scale, bias, mean, var) from BatchNorm — run the
+            # whole BN->ReLU->conv segment through the custom-VJP fused kernel
+            # (one forward pass; one backward kernel emitting dx + weight-grad
+            # taps + BN sums with the activation recomputed only in VMEM)
+            from ..ops.pallas import convseg
+            scale, offset, mean, var = bn_raw
+            if convseg.pallas_available(x.shape[1], x.shape[2], C,
+                                        self.features, d):
+                return convseg.fused_segment(d, 1e-3, act, False, x, scale,
+                                            offset, mean, var, kernel, bias)
+            from ..ops.fused_bn import batch_norm_act
+            x = batch_norm_act(x, scale, offset, mean, var, eps=1e-3,
+                               relu=act)
 
         if prologue is not None and self.kernel_size == (3, 3):
             from ..ops.pallas import convseg
@@ -136,8 +151,21 @@ class ResBlockA(nn.Module):
             conv2 = Conv(self.features, (3, 3), kernel_dilation=d,
                          dtype=self.dtype)
             if train:
-                b = _save(conv1(bn1(x, train, stats=shared)))
-                b = _save(conv2(bn2(b, train)))
+                import os
+                if os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT") == "1":
+                    # one-kernel fwd + one-kernel bwd per segment
+                    # (convseg.fused_segment). MEASURED NET-NEGATIVE on the
+                    # v5e bench (69.3 vs 75.8 patches/s — the weight-gradient
+                    # taps contract over the sublane dim, which Mosaic lowers
+                    # via transposes, outweighing the saved activation
+                    # passes), so opt-in; gradients are parity-tested against
+                    # autodiff (tests/test_pallas_convseg.py).
+                    b = _save(conv1(
+                        x, bn_raw=bn1(x, train, stats=shared, return_raw=True)))
+                    b = _save(conv2(b, bn_raw=bn2(b, train, return_raw=True)))
+                else:
+                    b = _save(conv1(bn1(x, train, stats=shared)))
+                    b = _save(conv2(bn2(b, train)))
             else:
                 # eval: BN is an affine of running stats — hand it to the conv
                 # as a prologue so the whole segment can fuse into one kernel

@@ -123,6 +123,92 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
     out_ref[0] = y.reshape(tile, lanes).astype(out_ref.dtype)
 
 
+def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
+                dx_ref, dw_ref, vec_ref, gbuf, sem,
+                *, H, W, C, tile, d, act, pad):
+    """One-pass backward for the fused segment: recomputes z tile-locally in
+    VMEM (never re-materialized to HBM, unlike XLA remat which cannot fuse the
+    recompute into conv ops) and emits dx, the 9 weight-gradient tap blocks,
+    and the BN per-channel sums.
+
+    For y[m] = sum_t z[m + t*d] @ W_t + c,  z = act(x*a + b):
+      dz[m]  = sum_t g[m - t*d] @ W_t^T
+      dz_pre = dz * 1[z_pre > 0]           (when act)
+      dx     = dz_pre * a
+      dW_t   = sum_m z[m] (outer) g[m - t*d]
+      S1 = sum dz_pre, S2 = sum dz_pre * xhat, dc = sum g
+    dW / S1 / S2 / dc accumulate across the whole grid into revisited blocks
+    (initialized by the first program; the grid runs sequentially per core)."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    lanes = W * C
+    dup = _dup(d)
+    win = tile + 2 * dup
+    start = pl.multiple_of(pad + t * tile - dup, 8)
+    copy = pltpu.make_async_copy(g_hbm.at[i, pl.ds(start, win), :], gbuf, sem)
+    copy.start()
+    copy.wait()
+
+    @pl.when((i == 0) & (t == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        vec_ref[...] = jnp.zeros_like(vec_ref)
+
+    a = at_ref[0]
+    b = bt_ref[0]
+    mu = mut_ref[0]
+    inv = invt_ref[0]
+    Mg = tile * lanes // 128
+
+    x = x_cur[0].astype(jnp.float32)
+    row0 = t * tile
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 0) + row0
+    in_img = (ii >= 0) & (ii < H)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1) // C
+
+    z_pre = x * a + b
+    z = jnp.maximum(z_pre, 0) if act else z_pre
+    z = jnp.where(in_img, z, 0.0)
+    zg = z.reshape(Mg, 128).astype(jnp.bfloat16)
+
+    dz = jnp.zeros((Mg, 128), jnp.float32)
+    gwin = gbuf[...]
+    vec_ref[2] += jnp.sum(
+        gwin[dup:dup + tile, :].astype(jnp.float32).reshape(Mg, 128), axis=0)
+    for ti, ki in enumerate((-d, 0, d)):
+        gs_rows = gwin[dup - ki:dup - ki + tile, :].astype(jnp.float32)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 0) \
+            + row0 - ki
+        gs_rows = jnp.where((gi >= 0) & (gi < H), gs_rows, 0.0)
+        for tj, kj in enumerate((-d, 0, d)):
+            if kj == 0:
+                gs = gs_rows
+            else:
+                # g at pixel column (w - kj): roll lanes by +kj*C, mask where
+                # the source column falls outside the image
+                gs = pltpu.roll(gs_rows, (kj * C) % lanes, axis=1)
+                gs = jnp.where((jj - kj >= 0) & (jj - kj < W), gs, 0.0)
+            gsg = gs.reshape(Mg, 128).astype(jnp.bfloat16)
+            # weight-gradient tap: z^T @ gs (contract over rows)
+            dw_ref[ti, tj] += jax.lax.dot_general(
+                zg, gsg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dz += gs @ W_t^T: contract gs lanes with W's output index
+            dz = dz + jax.lax.dot_general(
+                gsg, wblk_ref[ti, tj].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    dzl = dz.reshape(tile, lanes)
+    if act:
+        dzl = jnp.where(z_pre > 0, dzl, 0.0)
+    dzl = jnp.where(in_img, dzl, 0.0)
+    xhat = (x - mu) * inv
+    vec_ref[0] += jnp.sum(dzl.reshape(Mg, 128), axis=0)
+    vec_ref[1] += jnp.sum((dzl * xhat).reshape(Mg, 128), axis=0)
+    dx_ref[0] = (dzl * a).astype(dx_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("dilation", "act", "interpret"))
 def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
                        interpret: bool = False):
@@ -168,3 +254,128 @@ def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
         interpret=interpret,
     )(xf, a_t, b_t, wblk, bias_t)
     return out.reshape(N, H, Wd, C)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "act", "interpret"))
+def _segment_bwd_pallas(x, g, a, b, mean, invstd, wblk, *, dilation: int,
+                        act: bool, interpret: bool = False):
+    """Runs _bwd_kernel over the grid. Returns (dx, dw_blocks, vecs) with
+    dw_blocks (3, 3, 128, 128) and vecs (3, 128) = [S1, S2, dc] in group-lane
+    layout (fold the 128/C groups to get per-channel values)."""
+    N, H, Wd, C = x.shape
+    d = dilation
+    tile = _plan_tile(H, Wd, C, d)
+    if tile is None:
+        raise ValueError("no tile plan; guard with pallas_available()")
+    T = H // tile
+    lanes = Wd * C
+    pad = max(_dup(d), 8)
+
+    xf = x.reshape(N, H, lanes)
+    gf = jnp.pad(g.astype(x.dtype).reshape(N, H, lanes),
+                 ((0, 0), (pad, pad), (0, 0)))
+
+    def vec(v):
+        return jnp.tile(v.astype(jnp.float32), Wd).reshape(1, lanes)
+
+    kernel = functools.partial(_bwd_kernel, H=H, W=Wd, C=C, tile=tile, d=d,
+                               act=act, pad=pad)
+    rep = pl.BlockSpec(memory_space=pltpu.VMEM)
+    same = lambda i, t: (0, 0, 0, 0)
+    dx, dw, vecs = pl.pallas_call(
+        kernel,
+        grid=(N, T),
+        in_specs=[
+            pl.BlockSpec((1, tile, lanes), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),   # x tile (no halo needed)
+            pl.BlockSpec(memory_space=pl.ANY),        # padded g (DMA'd)
+            rep, rep, rep, rep, rep,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, lanes), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 128, 128), same, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, H, lanes), x.dtype),
+            jax.ShapeDtypeStruct((3, 3, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _dup(d), lanes), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xf, gf, vec(a), vec(b), vec(mean), vec(invstd), wblk)
+    return dx.reshape(N, H, Wd, C), dw, vecs
+
+
+def _affine(gamma, beta, mean, var, eps):
+    invstd = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    a = gamma * invstd
+    return a, beta - mean * a, invstd
+
+
+def _fold_groups(v128, C):
+    """(…, 128) group-lane vector -> per-channel (…, C) by summing groups."""
+    g = 128 // C
+    return v128.reshape(v128.shape[:-1] + (g, C)).sum(-2)
+
+
+def _block_w(w):
+    g = 128 // w.shape[2]
+    eye = jnp.eye(g, dtype=jnp.float32)
+    return jnp.einsum("ab,ijcd->ijacbd", eye, w.astype(jnp.float32)).reshape(
+        3, 3, 128, 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_segment(dilation, eps, act, interpret, x, gamma, beta, mean, var, w, bias):
+    """Training-mode fused BN->ReLU->dilated-conv with a one-kernel backward.
+
+    y = conv_{3x3,dilation,SAME}(act((x - mean) * rsqrt(var+eps) * gamma
+        + beta)) @ w + bias
+
+    mean/var are the batch statistics (computed outside, shareable across
+    ResBlock branches); their cotangents follow the same closed form as
+    ops/fused_bn.bn_apply so the statistics chain continues through autodiff.
+    """
+    a, b, _ = _affine(gamma, beta, mean, var, eps)
+    return bn_act_conv_pallas(x, a, b, w, bias, dilation=dilation, act=act,
+                              interpret=interpret)
+
+
+def _fused_segment_fwd(dilation, eps, act, interpret, x, gamma, beta, mean,
+                       var, w, bias):
+    y = fused_segment(dilation, eps, act, interpret, x, gamma, beta, mean,
+                      var, w, bias)
+    return y, (x, gamma, beta, mean, var, w)
+
+
+def _fused_segment_bwd(dilation, eps, act, interpret, res, g):
+    x, gamma, beta, mean, var, w = res
+    C = x.shape[-1]
+    a, b, invstd = _affine(gamma, beta, mean, var, eps)
+    dx, dwblk, vecs = _segment_bwd_pallas(
+        x, g, a, b, mean, invstd, _block_w(w), dilation=dilation, act=act,
+        interpret=interpret)
+
+    grp = 128 // C
+    # fold the block-diagonal taps: true dW = sum of the diagonal blocks
+    dw = dwblk.reshape(3, 3, grp, C, grp, C)
+    dw = jnp.einsum("ijgcgd->ijcd", dw)
+    s1 = _fold_groups(vecs[0], C)   # sum dz_pre
+    s2 = _fold_groups(vecs[1], C)   # sum dz_pre * xhat
+    dc = _fold_groups(vecs[2], C)   # conv bias grad
+
+    dgamma = s2
+    dbeta = s1
+    dmean = -gamma * invstd * s1
+    dvar = -0.5 * gamma * invstd * invstd * s2
+    return (dx.astype(x.dtype), dgamma, dbeta, dmean, dvar,
+            dw.astype(w.dtype), dc.astype(jnp.float32))
+
+
+fused_segment.defvjp(_fused_segment_fwd, _fused_segment_bwd)

@@ -8,9 +8,21 @@ inference — falls out of GSPMD partitioning of the single jitted program; no
 user-visible collectives, mirroring how MirroredStrategy hid NCCL.
 """
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _disable_unsharded_kernels(n):
+    """Pallas calls are opaque to GSPMD — under a multi-device mesh they would
+    force their operands to gather, so the fused train-segment kernel
+    (ops/pallas/convseg.py) turns itself off when a real mesh exists. The
+    label-gen kernels stay on (they run inside the vmapped per-sample pipeline,
+    whose batch sharding XLA keeps outside the kernel)."""
+    if n > 1:
+        os.environ.setdefault("RESUNETA_NO_PALLAS_CONVSEG", "1")
 
 
 def make_mesh(n_devices=None, axis_name="data", devices=None):
@@ -18,6 +30,7 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
+    _disable_unsharded_kernels(len(devs))
     return Mesh(np.asarray(devs), (axis_name,))
 
 
@@ -29,6 +42,7 @@ def make_mesh_2d(n_data, n_space, devices=None):
     devs = list(devices if devices is not None else jax.devices())
     assert len(devs) >= n_data * n_space, "not enough devices"
     grid = np.asarray(devs[: n_data * n_space]).reshape(n_data, n_space)
+    _disable_unsharded_kernels(n_data * n_space)
     return Mesh(grid, ("data", "space"))
 
 

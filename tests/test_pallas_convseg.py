@@ -58,3 +58,75 @@ class TestConvSeg:
         got = np.asarray(convseg.bn_act_conv_pallas(
             x, a, b, w, bias, dilation=d, act=True, interpret=True), np.float32)
         np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+
+@pytest.mark.skipif(not convseg._PALLAS_OK, reason="pallas not importable")
+class TestFusedSegmentVJP:
+    """fused_segment's one-kernel backward vs autodiff of the jnp composition."""
+
+    def _compose(self, d, act, eps=1e-3):
+        def f(x, gamma, beta, mean, var, w, bias):
+            invstd = jax.lax.rsqrt(var + eps)
+            a = gamma * invstd
+            b = beta - mean * a
+            z = x.astype(jnp.float32) * a + b
+            if act:
+                z = jnp.maximum(z, 0)
+            dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                z.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
+                rhs_dilation=(d, d), dimension_numbers=dn)
+            return y.astype(jnp.float32) + bias.astype(jnp.float32)
+        return f
+
+    @pytest.mark.parametrize("d", [1, 3])
+    def test_grads_match_autodiff(self, d):
+        rng = np.random.default_rng(d)
+        N, H, W, C = 2, 32, 32, 8
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.4 + 1
+        beta = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        mean = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        var = jnp.asarray(np.abs(rng.standard_normal(C)) + 0.5, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        cot = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+
+        ref = self._compose(d, True)
+
+        def loss_ref(*args):
+            return jnp.sum(ref(*args) * cot)
+
+        def loss_fused(*args):
+            y = convseg.fused_segment(d, 1e-3, True, True, *args)
+            return jnp.sum(y.astype(jnp.float32) * cot)
+
+        args = (x, gamma, beta, mean, var, w, bias)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        g_fus = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+
+        names = ["dx", "dgamma", "dbeta", "dmean", "dvar", "dw", "dbias"]
+        for name, r, f in zip(names, g_ref, g_fus):
+            r, f = np.asarray(r, np.float32), np.asarray(f, np.float32)
+            scale = max(np.abs(r).max(), 1e-3)
+            np.testing.assert_allclose(f, r, rtol=0.06, atol=0.06 * scale,
+                                       err_msg=name)
+
+    def test_forward_matches_eval_kernel(self):
+        rng = np.random.default_rng(0)
+        N, H, W, C = 1, 32, 32, 8
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        gamma = jnp.ones(C, jnp.float32)
+        beta = jnp.zeros(C, jnp.float32)
+        mean = jnp.zeros(C, jnp.float32)
+        var = jnp.ones(C, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+        bias = jnp.zeros(C, jnp.float32)
+        y = convseg.fused_segment(3, 1e-3, True, True, x, gamma, beta, mean,
+                                  var, w, bias)
+        a, b, _ = convseg._affine(gamma, beta, mean, var, 1e-3)
+        y2 = convseg.bn_act_conv_pallas(x, a, b, w, bias, dilation=3, act=True,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                      np.asarray(y2, np.float32))
