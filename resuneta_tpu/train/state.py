@@ -43,6 +43,11 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    # NB: optax.flatten(adam) was measured (14.1 -> 8.8 ms standalone for the
+    # 362-tensor update) but is a wash inside the full fused step (75.2 vs 75.8
+    # patches/s) — XLA's scheduler already hides the per-tensor updates behind
+    # other work, and flattening adds ravel/unravel passes. Kept unflattened
+    # for per-tensor checkpoint compatibility.
     if name == "adam":
         return optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate, b1=0.9

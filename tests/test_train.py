@@ -178,3 +178,41 @@ class TestAsyncCheckpoint:
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLearning:
+    def test_overfits_tiny_dataset(self):
+        """End-to-end gradient sanity beyond parity tests: the full multitask
+        model + losses + closed-form-VJP BN must overfit a 4-patch dataset
+        (seg accuracy climbing far above chance). Catches sign/scale errors in
+        any custom backward that per-op parity tolerances could let through."""
+        import jax, jax.numpy as jnp
+        from resuneta_tpu.models import ResUnetA
+        from resuneta_tpu.losses import make_losses
+        from resuneta_tpu.train import create_train_state, make_train_step
+        from resuneta_tpu.data import make_device_pipeline
+
+        ps, bs, nc = 64, 4, 5
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, nc, (bs, ps, ps)).astype(np.uint8)
+        # image correlated with labels so the task is learnable
+        img = (ids * (255 // (nc - 1))).astype(np.uint8)
+        batch = {
+            "image_u8": jnp.asarray(np.stack([img] * 3, -1)),
+            "label_ids": jnp.asarray(ids),
+            "aug": jnp.zeros(bs, jnp.int32),
+        }
+        model = ResUnetA(num_classes=nc, img_size=ps, multitasking=True,
+                         dtype=jnp.float32)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, ps, ps, 3), "adam", 1e-3)
+        pipe = make_device_pipeline(nc, norm_type=1, multitasking=True)
+        step = make_train_step(make_losses("tanimoto"),
+                               {"seg": 1., "bound": 1., "dist": 1., "color": 1.},
+                               multitasking=True, preprocess=pipe)
+        accs = []
+        for i in range(30):
+            state, row = step(state, batch)
+            accs.append(float(np.asarray(row)[5]))
+        assert accs[-1] > 0.75, accs[-5:]
+        assert accs[-1] > accs[0] + 0.3, (accs[0], accs[-1])
