@@ -76,3 +76,52 @@ def test_forward_parity_all_heads(pair):
     # the decision surface must agree exactly almost everywhere
     agree = np.mean(np.argmax(ours["seg"], -1) == np.argmax(kout["seg"], -1))
     assert agree > 0.999, agree
+
+
+def test_end_to_end_eval_parity(pair):
+    """Given the reference's weights, our whole eval chain (patch chop ->
+    batched prediction -> argmax -> confusion matrix) must reproduce the
+    reference's own flow (Keras predict, test_ISPRS.py semantics) — the §6
+    quality-anchor machinery, demonstrated without trained checkpoints."""
+    kmodel, model = pair
+    rng = np.random.default_rng(42)
+    for layer in kmodel.layers:
+        if type(layer).__name__ == "BatchNormalization":
+            g, b, m, v = layer.get_weights()
+            layer.set_weights([
+                1 + 0.1 * rng.standard_normal(g.shape).astype(np.float32),
+                0.1 * rng.standard_normal(b.shape).astype(np.float32),
+                0.1 * rng.standard_normal(m.shape).astype(np.float32),
+                (1 + 0.1 * np.abs(rng.standard_normal(v.shape))).astype(np.float32),
+            ])
+    variables = import_keras_weights(kmodel, model, (1, PS, PS, 3),
+                                     multitasking=True)
+
+    # synthetic normalized scene, chopped exactly like test_ISPRS.py (non-overlap)
+    import jax
+    import jax.numpy as jnp
+    from resuneta_tpu.ops.patches import extract_patches_nonoverlap
+    from resuneta_tpu.infer import predict_patches
+    from resuneta_tpu.metrics import confusion_matrix
+
+    scene = rng.random((2 * PS, 3 * PS, 3), np.float32)
+    truth = rng.integers(0, NC, (2 * PS, 3 * PS))
+    patches = extract_patches_nonoverlap(scene, PS, order="row")
+    truth_p = extract_patches_nonoverlap(truth, PS, order="row")
+
+    # reference flow: Keras predict + argmax
+    kpred = np.asarray(kmodel(tf.constant(patches), training=False)["seg"])
+    kids = np.argmax(kpred, -1)
+
+    # our flow: batched jitted prediction + device argmax
+    apply_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    preds = predict_patches(apply_fn, patches, batch_size=4)
+    ours = np.argmax(preds["seg"], -1)
+
+    agree = np.mean(kids == ours)
+    assert agree > 0.999, agree
+
+    cm_ref = np.asarray(confusion_matrix(truth_p.reshape(-1), kids.reshape(-1)))
+    cm_ours = np.asarray(confusion_matrix(truth_p.reshape(-1), ours.reshape(-1)))
+    total = cm_ref.sum()
+    assert np.abs(cm_ref - cm_ours).sum() / total < 2e-3
