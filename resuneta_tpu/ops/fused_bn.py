@@ -22,6 +22,7 @@ flax.linen.BatchNorm's fast-variance formulation (var = E[x^2] - E[x]^2).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +77,6 @@ def _bn_apply_fwd(relu, eps, x, gamma, beta, mean, var):
 def _bn_apply_bwd(relu, eps, res, g):
     x, gamma, beta, mean, var = res
     axes = tuple(range(x.ndim - 1))
-    m = x.size // x.shape[-1]
 
     invstd = jax.lax.rsqrt(var + eps)
     if relu:
@@ -98,14 +98,11 @@ def _bn_apply_bwd(relu, eps, res, g):
 
     # one elementwise pass for dx
     dx = (g * (gamma * invstd).astype(g.dtype)).astype(x.dtype)
-    del m
     return dx, dgamma, dbeta, dmean, dvar
 
 
 bn_apply.defvjp(_bn_apply_fwd, _bn_apply_bwd)
 
-
-import os
 
 _PLAIN_BN = bool(os.environ.get("RESUNETA_PLAIN_BN"))
 
