@@ -54,17 +54,25 @@ def _save(x):
 class Conv(nn.Module):
     """nn.Conv-compatible convolution (same parameter names/shapes/init, same
     Flax auto-naming, so checkpoints and the Keras importer are unaffected)
-    with an optional fused BN-affine(+ReLU) prologue: on the TPU eval path
-    ResBlockA passes the BatchNorm's (a, b) and the whole
-    act(x*a+b) -> dilated-conv segment runs as one Pallas kernel
-    (ops/pallas/convseg.py) instead of materializing the activation."""
+    with fusion hooks for the eval path:
+
+    * prologue=(a, b): the preceding BatchNorm's affine — the whole
+      act(x*a+b) -> dilated-conv segment runs as one Pallas kernel
+      (ops/pallas/convseg.py) instead of materializing the activation;
+    * epilogue=(a, b): a FOLLOWING BatchNorm's affine (the reference's Conv2DN
+      pattern, model2.py:36-39) folded algebraically into the weights —
+      conv(x) * a + b == x @ (W * a) + (bias * a + b) — so eval-mode
+      conv->BN costs zero extra passes;
+    * bn_raw: training-mode statistics for the custom-VJP fused segment."""
     features: int
     kernel_size: tuple = (3, 3)
     kernel_dilation: int = 1
+    strides: tuple = (1, 1)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, prologue=None, bn_raw=None, act: bool = True):
+    def __call__(self, x, prologue=None, bn_raw=None, epilogue=None,
+                 act: bool = True):
         C = x.shape[-1]
         kernel = self.param("kernel", _conv_init,
                             self.kernel_size + (C, self.features), jnp.float32)
@@ -98,6 +106,13 @@ class Conv(nn.Module):
             if act:
                 x = nn.relu(x)
 
+        if epilogue is not None:
+            # fold the following BN's affine into the weights (tiny per-channel
+            # algebra on the kernel; conv output needs no extra pass)
+            a, b = epilogue
+            kernel = kernel * a
+            bias = bias * a + b
+
         # match nn.Conv's dtype semantics: compute-dtype conv output (f32
         # accumulation stays internal to the MXU), compute-dtype bias add —
         # a float32 preferred_element_type here would double the write traffic
@@ -105,13 +120,18 @@ class Conv(nn.Module):
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), "SAME",
-            rhs_dilation=(d, d), dimension_numbers=dn)
-        return y + bias.astype(self.dtype)
+            x.astype(self.dtype), kernel.astype(self.dtype), self.strides,
+            "SAME", rhs_dilation=(d, d), dimension_numbers=dn)
+        y = y + bias.astype(self.dtype)
+        if epilogue is not None and act:
+            y = nn.relu(y)
+        return y
 
 
 class ConvBN(nn.Module):
-    """Conv2DN of the reference: conv (default 1x1) followed by BatchNorm."""
+    """Conv2DN of the reference: conv (default 1x1) followed by BatchNorm.
+    In eval mode the BN affine (from running statistics) folds into the conv
+    weights — zero extra passes (Conv epilogue)."""
     features: int
     kernel: tuple = (1, 1)
     strides: tuple = (1, 1)
@@ -120,12 +140,17 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _save(nn.Conv(self.features, self.kernel, strides=self.strides,
-                          padding="SAME", dtype=self.dtype,
-                          kernel_init=_conv_init)(x))
-        x = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
-                      act=self.act)(x, train)
-        return x
+        conv = Conv(self.features, self.kernel, kernel_dilation=1,
+                    strides=self.strides, dtype=self.dtype)
+        bn = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                       act=self.act)
+        if train:
+            return bn(_save(conv(x)), train)
+        # shape surrogate: the affine only needs the BN's (features,)-sized
+        # variables, and the conv output itself must not be materialized first
+        probe = jnp.zeros((1, self.features), self.dtype)
+        return conv(x, epilogue=bn(probe, False, return_affine=True),
+                    act=self.act)
 
 
 class ResBlockA(nn.Module):
