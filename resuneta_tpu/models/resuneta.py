@@ -84,13 +84,18 @@ class Conv(nn.Module):
             # training path: (scale, bias, mean, var) from BatchNorm — run the
             # whole BN->ReLU->conv segment through the custom-VJP fused kernel
             # (one forward pass; one backward kernel emitting dx + weight-grad
-            # taps + BN sums with the activation recomputed only in VMEM)
+            # taps + BN sums with the activation recomputed only in VMEM).
+            # Mode "2": XLA forward + Pallas one-pass backward (hybrid).
+            import os
             from ..ops.pallas import convseg
             scale, offset, mean, var = bn_raw
             if convseg.pallas_available(x.shape[1], x.shape[2], C,
                                         self.features, d):
-                return convseg.fused_segment(d, 1e-3, act, False, x, scale,
-                                            offset, mean, var, kernel, bias)
+                seg = convseg.fused_segment_bwdonly \
+                    if os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT") == "2" \
+                    else convseg.fused_segment
+                return seg(d, 1e-3, act, False, x, scale,
+                           offset, mean, var, kernel, bias)
             from ..ops.fused_bn import batch_norm_act
             x = batch_norm_act(x, scale, offset, mean, var, eps=1e-3,
                                relu=act)
@@ -177,7 +182,7 @@ class ResBlockA(nn.Module):
                          dtype=self.dtype)
             if train:
                 import os
-                if os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT") == "1":
+                if os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT") in ("1", "2"):
                     # one-kernel fwd + one-kernel bwd per segment
                     # (convseg.fused_segment). MEASURED NET-NEGATIVE on the
                     # v5e bench (69.3 vs 75.8 patches/s — the weight-gradient

@@ -59,7 +59,7 @@ def _plan_tile(H, W, C, d):
     tile = 128
     while tile >= 8:
         win = tile + 2 * _dup(d)
-        need = (win * lanes * 2            # bf16 input window
+        need = (2 * win * lanes * 2        # double-buffered bf16 input windows
                 + 3 * tile * lanes * 4    # f32 z-slice + shifted copy + acc
                 + tile * lanes * 2        # output block
                 + 9 * 128 * 128 * 4)     # block-diagonal taps
@@ -69,14 +69,74 @@ def _plan_tile(H, W, C, d):
     return None
 
 
+# Scoped disable: Pallas calls are opaque to GSPMD, so mesh-sharded programs
+# must trace without the segment kernels. Callers wrap the trace-causing call
+# in `with convseg.disabled():` (parallel/mesh-aware paths do this) instead of
+# mutating process-global env vars.
+_DISABLED_DEPTH = 0
+
+
+class disabled:
+    """Context manager: disable the segment kernels while tracing under it."""
+
+    def __enter__(self):
+        global _DISABLED_DEPTH
+        _DISABLED_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _DISABLED_DEPTH
+        _DISABLED_DEPTH -= 1
+        return False
+
+
 def pallas_available(H, W, C, Cout, d):
     import os
-    if os.environ.get("RESUNETA_NO_PALLAS") or \
+    if _DISABLED_DEPTH or os.environ.get("RESUNETA_NO_PALLAS") or \
             os.environ.get("RESUNETA_NO_PALLAS_CONVSEG"):
         return False
     return (_PALLAS_OK and jax.default_backend() == "tpu"
             and C == Cout and C <= MAX_CHANNELS and 128 % C == 0
             and (W * C) % 128 == 0 and _plan_tile(H, W, C, d) is not None)
+
+
+def _start_window_copy(src_hbm, buf, sem, k, slot, *, T, tile, dup, win, pad):
+    """Kick off the async copy of flat program index k's row window into
+    double-buffer slot `slot` (the (N, T) grid runs sequentially per core, so
+    program k prefetches k+1's window and computes on its own)."""
+    i2 = k // T
+    t2 = k - i2 * T
+    st = pl.multiple_of(pad + t2 * tile - dup, 8)
+    pltpu.make_async_copy(src_hbm.at[i2, pl.ds(st, win), :],
+                          buf.at[slot], sem.at[slot]).start()
+
+
+def _wait_window_copy(src_hbm, buf, sem, slot, *, win):
+    pltpu.make_async_copy(src_hbm.at[0, pl.ds(0, win), :],
+                          buf.at[slot], sem.at[slot]).wait()
+
+
+def _pixel_roll_masked(arr, kj, C, W):
+    """arr (rows, W*C) -> arr shifted by kj PIXELS along lanes, with pixels
+    whose source column falls outside [0, W) zeroed.
+
+    16-bit dtypes ride the i32 bitcast view (pltpu.bitcast packs sublane
+    PAIRS, keeping the lane count, so an i32 lane-roll is an exact bf16
+    lane-roll at half the VPU data volume — native 16-bit lane rotates do not
+    compile on this Mosaic). 32-bit dtypes roll directly."""
+    lanes = arr.shape[-1]
+    if arr.dtype.itemsize == 2:
+        view = pltpu.bitcast(arr, jnp.int32)   # (rows//2, lanes)
+        zero = 0
+    else:
+        view = arr
+        zero = jnp.zeros((), arr.dtype)
+    rolled = pltpu.roll(view, (-kj * C) % lanes, axis=1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1) // C
+    rolled = jnp.where((jj + kj >= 0) & (jj + kj < W), rolled, zero)
+    if arr.dtype.itemsize == 2:
+        return pltpu.bitcast(rolled, arr.dtype)
+    return rolled
 
 
 def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
@@ -87,36 +147,47 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
     dup = _dup(d)
     win = tile + 2 * dup
     # input rows [t*tile - dup, ...) of the image = [pad + t*tile - dup, ...)
-    # of the padded array; pad, tile, dup are all sublane-aligned
-    start = pl.multiple_of(pad + t * tile - dup, 8)
-    copy = pltpu.make_async_copy(in_hbm.at[i, pl.ds(start, win), :], buf, sem)
-    copy.start()
-    copy.wait()
+    # of the padded array; pad, tile, dup are all sublane-aligned.
+    # Double-buffered: program k waits on its own window (started by k-1 or,
+    # for k == 0, right here) and prefetches k+1's while computing.
+    T = pl.num_programs(1)
+    NT = pl.num_programs(0) * T
+    k = i * T + t
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _first():
+        _start_window_copy(in_hbm, buf, sem, k, slot,
+                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+
+    @pl.when(k + 1 < NT)
+    def _prefetch():
+        _start_window_copy(in_hbm, buf, sem, k + 1, jax.lax.rem(k + 1, 2),
+                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+
+    _wait_window_copy(in_hbm, buf, sem, slot, win=win)
 
     a = at_ref[0]
     b = bt_ref[0]
     row0 = t * tile  # global image row of output row 0
-    jj = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1) // C  # pixel col
 
     acc = jnp.zeros((tile * lanes // 128, 128), jnp.float32)
     for ti, ki in enumerate((-d, 0, d)):
         # z for the rows feeding this tap: affine + act in f32, zero outside
-        # the image (conv SAME padding of z, NOT act(b))
-        rows = buf[pl.ds(dup + ki, tile), :].astype(jnp.float32)
+        # the image (conv SAME padding of z, NOT act(b)); cast to bf16 ONCE —
+        # the column taps then roll the 16-bit data (half the VPU volume)
+        rows = buf[slot, pl.ds(dup + ki, tile), :].astype(jnp.float32)
         z = rows * a + b
         if act:
             z = jnp.maximum(z, 0)
         ii = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 0) + row0 + ki
         z = jnp.where((ii >= 0) & (ii < H), z, 0.0)
+        zb = z.astype(jnp.bfloat16)
         for tj, kj in enumerate((-d, 0, d)):
-            if kj == 0:
-                zs = z
-            else:
-                zs = pltpu.roll(z, (-kj * C) % lanes, axis=1)
-                zs = jnp.where((jj + kj >= 0) & (jj + kj < W), zs, 0.0)
+            zs = zb if kj == 0 else _pixel_roll_masked(zb, kj, C, W)
             wk = w_ref[ti, tj].astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
-                zs.reshape(tile * lanes // 128, 128).astype(jnp.bfloat16), wk,
+                zs.reshape(tile * lanes // 128, 128), wk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     y = acc + bias_ref[0]
@@ -144,15 +215,27 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     lanes = W * C
     dup = _dup(d)
     win = tile + 2 * dup
-    start = pl.multiple_of(pad + t * tile - dup, 8)
-    copy = pltpu.make_async_copy(g_hbm.at[i, pl.ds(start, win), :], gbuf, sem)
-    copy.start()
-    copy.wait()
+    T = pl.num_programs(1)
+    NT = pl.num_programs(0) * T
+    k = i * T + t
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _first():
+        _start_window_copy(g_hbm, gbuf, sem, k, slot,
+                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+
+    @pl.when(k + 1 < NT)
+    def _prefetch():
+        _start_window_copy(g_hbm, gbuf, sem, k + 1, jax.lax.rem(k + 1, 2),
+                           T=T, tile=tile, dup=dup, win=win, pad=pad)
 
     @pl.when((i == 0) & (t == 0))
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         vec_ref[...] = jnp.zeros_like(vec_ref)
+
+    _wait_window_copy(g_hbm, gbuf, sem, slot, win=win)
 
     a = at_ref[0]
     b = bt_ref[0]
@@ -170,28 +253,34 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     z = jnp.maximum(z_pre, 0) if act else z_pre
     z = jnp.where(in_img, z, 0.0)
     zg = z.reshape(Mg, 128).astype(jnp.bfloat16)
+    # ONE explicit transpose: the 9 weight-gradient taps then run as native
+    # (M, K) @ (K, N) matmuls (lhs contraction on lanes) instead of Mosaic
+    # inserting a sublane-contraction transpose inside every tap.
+    zT = zg.T
 
     dz = jnp.zeros((Mg, 128), jnp.float32)
-    gwin = gbuf[...]
+    gwin = gbuf[slot]
     vec_ref[2] += jnp.sum(
         gwin[dup:dup + tile, :].astype(jnp.float32).reshape(Mg, 128), axis=0)
     for ti, ki in enumerate((-d, 0, d)):
-        gs_rows = gwin[dup - ki:dup - ki + tile, :].astype(jnp.float32)
+        # cotangent rows stay in their 16-bit storage dtype: mask once, then
+        # the column taps roll the bitcast view (no f32 round-trip per tap)
+        gs_rows = gwin[dup - ki:dup - ki + tile, :]
         gi = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 0) \
             + row0 - ki
-        gs_rows = jnp.where((gi >= 0) & (gi < H), gs_rows, 0.0)
+        gs_rows = jnp.where((gi >= 0) & (gi < H), gs_rows,
+                            jnp.zeros((), gs_rows.dtype))
         for tj, kj in enumerate((-d, 0, d)):
             if kj == 0:
                 gs = gs_rows
             else:
                 # g at pixel column (w - kj): roll lanes by +kj*C, mask where
                 # the source column falls outside the image
-                gs = pltpu.roll(gs_rows, (kj * C) % lanes, axis=1)
-                gs = jnp.where((jj - kj >= 0) & (jj - kj < W), gs, 0.0)
+                gs = _pixel_roll_masked(gs_rows, -kj, C, W)
             gsg = gs.reshape(Mg, 128).astype(jnp.bfloat16)
-            # weight-gradient tap: z^T @ gs (contract over rows)
+            # weight-gradient tap: z^T @ gs (contract over pixels)
             dw_ref[ti, tj] += jax.lax.dot_general(
-                zg, gsg, dimension_numbers=(((0,), (0,)), ((), ())),
+                zT, gsg, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             # dz += gs @ W_t^T: contract gs lanes with W's output index
             dz = dz + jax.lax.dot_general(
@@ -248,8 +337,8 @@ def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H, lanes), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _dup(d), lanes), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile + 2 * _dup(d), lanes), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xf, a_t, b_t, wblk, bias_t)
@@ -304,8 +393,8 @@ def _segment_bwd_pallas(x, g, a, b, mean, invstd, wblk, *, dilation: int,
             jax.ShapeDtypeStruct((3, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _dup(d), lanes), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile + 2 * _dup(d), lanes), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xf, gf, vec(a), vec(b), vec(mean), vec(invstd), wblk)
@@ -379,3 +468,34 @@ def _fused_segment_bwd(dilation, eps, act, interpret, res, g):
 
 
 fused_segment.defvjp(_fused_segment_fwd, _fused_segment_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_segment_bwdonly(dilation, eps, act, interpret, x, gamma, beta, mean,
+                          var, w, bias):
+    """Hybrid segment: XLA-op FORWARD (BN apply -> ReLU -> conv, which XLA
+    schedules/fuses well in-graph) + the one-kernel Pallas BACKWARD of
+    fused_segment (dx + 9 wgrad taps + BN sums in one pass, z recomputed only
+    in VMEM — the backward is where XLA pays the C<128 layout tax in separate
+    relu-mask/wgrad/BN-reduction passes). The bwd kernel recomputes z from x,
+    so it is independent of how the forward ran."""
+    a, b, _ = _affine(gamma, beta, mean, var, eps)
+    z = x.astype(jnp.float32) * a + b
+    if act:
+        z = jnp.maximum(z, 0)
+    z = z.astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        z, w.astype(x.dtype), (1, 1), "SAME",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(x.dtype)
+
+
+def _fused_segment_bwdonly_fwd(dilation, eps, act, interpret, x, gamma, beta,
+                               mean, var, w, bias):
+    y = fused_segment_bwdonly(dilation, eps, act, interpret, x, gamma, beta,
+                              mean, var, w, bias)
+    return y, (x, gamma, beta, mean, var, w)
+
+
+fused_segment_bwdonly.defvjp(_fused_segment_bwdonly_fwd, _fused_segment_bwd)

@@ -113,6 +113,56 @@ class TestFusedSegmentVJP:
             np.testing.assert_allclose(f, r, rtol=0.06, atol=0.06 * scale,
                                        err_msg=name)
 
+    @pytest.mark.parametrize("d", [1, 3])
+    def test_bwdonly_hybrid_matches_autodiff(self, d):
+        """fused_segment_bwdonly: XLA forward must equal the jnp composition
+        exactly, and the Pallas one-pass backward must match autodiff."""
+        rng = np.random.default_rng(10 + d)
+        N, H, W, C = 2, 32, 32, 8
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.4 + 1
+        beta = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        mean = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        var = jnp.asarray(np.abs(rng.standard_normal(C)) + 0.5, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        cot = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        args = (x, gamma, beta, mean, var, w, bias)
+
+        def ref(x, gamma, beta, mean, var, w, bias):
+            # the hybrid fwd runs BN/ReLU in f32 and the conv in x.dtype
+            # (f32 here), matching the model's unfused training path
+            invstd = jax.lax.rsqrt(var + 1e-3)
+            a = gamma * invstd
+            b = beta - mean * a
+            z = jnp.maximum(x.astype(jnp.float32) * a + b, 0).astype(x.dtype)
+            y = jax.lax.conv_general_dilated(
+                z, w.astype(x.dtype), (1, 1), "SAME", rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(x.dtype)
+
+        y_ref = np.asarray(ref(*args), np.float32)
+        y_hyb = np.asarray(
+            convseg.fused_segment_bwdonly(d, 1e-3, True, True, *args),
+            np.float32)
+        np.testing.assert_allclose(y_hyb, y_ref, rtol=2e-5, atol=2e-5)
+
+        def loss_ref(*a):
+            return jnp.sum(ref(*a) * cot)
+
+        def loss_hyb(*a):
+            y = convseg.fused_segment_bwdonly(d, 1e-3, True, True, *a)
+            return jnp.sum(y.astype(jnp.float32) * cot)
+
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        g_hyb = jax.grad(loss_hyb, argnums=tuple(range(7)))(*args)
+        names = ["dx", "dgamma", "dbeta", "dmean", "dvar", "dw", "dbias"]
+        for name, r, f in zip(names, g_ref, g_hyb):
+            r, f = np.asarray(r, np.float32), np.asarray(f, np.float32)
+            scale = max(np.abs(r).max(), 1e-3)
+            np.testing.assert_allclose(f, r, rtol=0.06, atol=0.06 * scale,
+                                       err_msg=name)
+
     def test_forward_matches_eval_kernel(self):
         rng = np.random.default_rng(0)
         N, H, W, C = 1, 32, 32, 8
