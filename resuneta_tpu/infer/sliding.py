@@ -14,15 +14,45 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.patches import extract_patches_nonoverlap, reconstruct_from_patches
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, sharded_trace_scope
 
 
-_COMPOSED_CACHE = {}
+# ---- stable on-device post-processing heads (cache keys must be stable
+# callables, not per-call lambdas, or the composed-jit cache never hits) ----
+
+def seg_head(out):
+    return out["seg"]
+
+
+def identity_head(out):
+    return out
+
+
+def seg_probs_f32(out):
+    return out["seg"].astype(jnp.float32)
+
+
+def probs_f32(out):
+    return out.astype(jnp.float32)
+
+
+def seg_ids_u8(out):
+    return jnp.argmax(out["seg"], axis=-1).astype(jnp.uint8)
+
+
+def ids_u8(out):
+    return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+
+
+_COMPOSED_CACHE = {}       # (apply_fn, device_post) -> jitted composition
+_COMPOSED_CACHE_MAX = 16   # strong refs key the cache, bounded FIFO eviction
 
 
 def _composed(apply_fn, device_post):
-    key = (id(apply_fn), id(device_post))
+    key = (apply_fn, device_post)
     if key not in _COMPOSED_CACHE:
+        if len(_COMPOSED_CACHE) >= _COMPOSED_CACHE_MAX:
+            _COMPOSED_CACHE.pop(next(iter(_COMPOSED_CACHE)))
         _COMPOSED_CACHE[key] = jax.jit(lambda x: device_post(apply_fn(x)))
     return _COMPOSED_CACHE[key]
 
@@ -78,7 +108,8 @@ def predict_patches(apply_fn, patches, batch_size=32, mesh=None, device_post=Non
         chunk = np.ascontiguousarray(chunk)
         if mesh is not None:
             chunk = shard_batch(chunk, mesh)
-        out = apply_fn(chunk)
+        with sharded_trace_scope(mesh):
+            out = apply_fn(chunk)
         out = jax.device_get(out)
         if pad:
             out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
@@ -121,7 +152,7 @@ def predict_scene_overlap(apply_fn, image, patch_size, stride, batch_size=32,
     patches = np.stack([image[y:y + patch_size, x:x + patch_size]
                         for y, x in positions])
 
-    head = (lambda o: o["seg"]) if multitask else (lambda o: o)
+    head = seg_head if multitask else identity_head
 
     if mesh is None:
         num_classes = None
@@ -153,7 +184,8 @@ def predict_scene_overlap(apply_fn, image, patch_size, stride, batch_size=32,
         mean = np.asarray(canvas / count[..., None])
     else:
         preds = predict_patches(apply_fn, patches, batch_size, mesh,
-                                device_post=lambda o: head(o).astype(jnp.float32))
+                                device_post=seg_probs_f32 if multitask
+                                else probs_f32)
         canvas = np.zeros((Hc, Wc, preds.shape[-1]), np.float32)
         count = np.zeros((Hc, Wc), np.float32)
         for (y, x), p in zip(positions, preds):
@@ -173,10 +205,8 @@ def predict_scene(apply_fn, image, patch_size, batch_size=32, mesh=None,
     image = np.asarray(image)
     patches = extract_patches_nonoverlap(image, patch_size, order="row")
     if ids_only:
-        head = (lambda o: o["seg"]) if multitask else (lambda o: o)
-        post = lambda o: jnp.argmax(head(o), axis=-1).astype(jnp.uint8)
         preds = predict_patches(apply_fn, patches, batch_size, mesh,
-                                device_post=post)
+                                device_post=seg_ids_u8 if multitask else ids_u8)
         seg_ids = preds
     else:
         preds = predict_patches(apply_fn, patches, batch_size, mesh)

@@ -8,21 +8,25 @@ inference — falls out of GSPMD partitioning of the single jitted program; no
 user-visible collectives, mirroring how MirroredStrategy hid NCCL.
 """
 
-import os
+import contextlib
 
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _disable_unsharded_kernels(n):
+def sharded_trace_scope(mesh):
     """Pallas calls are opaque to GSPMD — under a multi-device mesh they would
-    force their operands to gather, so the fused train-segment kernel
-    (ops/pallas/convseg.py) turns itself off when a real mesh exists. The
-    label-gen kernels stay on (they run inside the vmapped per-sample pipeline,
-    whose batch sharding XLA keeps outside the kernel)."""
-    if n > 1:
-        os.environ.setdefault("RESUNETA_NO_PALLAS_CONVSEG", "1")
+    force their operands to gather, so the fused segment kernels
+    (ops/pallas/convseg.py) must be off while TRACING a mesh-sharded program.
+    Wrap the trace-causing call (the first step/apply invocation) in this scope;
+    it is a no-op for single-device meshes. The label-gen kernels stay on (they
+    run inside the vmapped per-sample pipeline, whose batch sharding XLA keeps
+    outside the kernel)."""
+    if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
+        return contextlib.nullcontext()
+    from ..ops.pallas import convseg
+    return convseg.disabled()
 
 
 def make_mesh(n_devices=None, axis_name="data", devices=None):
@@ -30,7 +34,6 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
-    _disable_unsharded_kernels(len(devs))
     return Mesh(np.asarray(devs), (axis_name,))
 
 
@@ -42,7 +45,6 @@ def make_mesh_2d(n_data, n_space, devices=None):
     devs = list(devices if devices is not None else jax.devices())
     assert len(devs) >= n_data * n_space, "not enough devices"
     grid = np.asarray(devs[: n_data * n_space]).reshape(n_data, n_space)
-    _disable_unsharded_kernels(n_data * n_space)
     return Mesh(grid, ("data", "space"))
 
 
@@ -75,7 +77,15 @@ def replicate(mesh):
 
 def shard_batch(batch, mesh, axis_name="data"):
     """Place a (possibly nested) batch onto the mesh, sharded along dim 0.
-    The global batch size must be divisible by the mesh axis size."""
+    The global batch size must be divisible by the mesh axis size.
+
+    Multi-host: when the runtime spans processes (jax.distributed), `batch` is
+    this HOST'S shard and the result is the global array assembled across all
+    processes (parallel/multihost.py) — the train loop code is identical on one
+    host and on a pod."""
+    if jax.process_count() > 1:
+        from .multihost import assemble_global_batch
+        return assemble_global_batch(batch, mesh, axis_name)
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

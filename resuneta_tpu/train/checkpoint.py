@@ -54,6 +54,18 @@ class AsyncSaver:
     def __init__(self, keep_last: int = 0):
         self._saver = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         self.keep_last = keep_last
+        self._pending_meta = None
+
+    def _flush_meta(self):
+        """Write the meta.json of the last best-save. Only called after
+        wait_until_finished(), so metadata never points at an uncommitted
+        checkpoint (a crash mid-commit leaves the OLD meta/ckpt pair or none,
+        never meta-without-checkpoint)."""
+        if self._pending_meta is not None:
+            path, meta = self._pending_meta
+            self._pending_meta = None
+            with open(path, "w") as f:
+                json.dump(meta, f)
 
     def save_best(self, ckpt_dir, state, epoch: int, min_loss: float):
         ckpt_dir = _abs(ckpt_dir)
@@ -61,8 +73,8 @@ class AsyncSaver:
         self.wait()  # drain any in-flight save of the same directory
         self._saver.save(ckpt_dir, args=ocp.args.StandardSave(_payload(state)),
                          force=True)
-        with open(ckpt_dir + ".meta.json", "w") as f:
-            json.dump({"epoch": epoch, "min_val_loss": float(min_loss)}, f)
+        self._pending_meta = (ckpt_dir + ".meta.json",
+                              {"epoch": epoch, "min_val_loss": float(min_loss)})
 
     def save_epoch(self, root_dir, state, epoch: int):
         root_dir = _abs(root_dir)
@@ -81,6 +93,7 @@ class AsyncSaver:
 
     def wait(self):
         self._saver.wait_until_finished()
+        self._flush_meta()
 
     def close(self):
         self.wait()

@@ -19,7 +19,7 @@ import numpy as np
 from .steps import METRICS_MULTITASK, METRICS_SINGLE
 from .checkpoint import save_best, AsyncSaver
 from ..metrics import compute_mcc
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, sharded_trace_scope
 from ..utils.table import ascii_table
 
 
@@ -80,10 +80,11 @@ def _epoch_pass(step_fn, state, ds, batch_size, order, mesh, train: bool):
         raw = ds.get_batch(pos)
         if mesh is not None:
             raw = shard_batch(raw, mesh)
-        if train:
-            state, row = step_fn(state, raw)
-        else:
-            row = step_fn(state, raw)
+        with sharded_trace_scope(mesh):
+            if train:
+                state, row = step_fn(state, raw)
+            else:
+                row = step_fn(state, raw)
         rows.append(row)  # device arrays; sync deferred to epoch end
     mean = np.mean(np.stack([np.asarray(r) for r in rows]), axis=0) if rows \
         else np.zeros(0)
@@ -114,11 +115,21 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
     saver = AsyncSaver(keep_last=config.keep_last) \
         if (config.async_checkpoint or config.keep_last) else None
 
-    def _finish(ret):
+    # Always drain pending async saves — an exception/KeyboardInterrupt
+    # mid-epoch must not abandon an uncommitted checkpoint (the meta.json for
+    # a save is only written once the commit completes, see AsyncSaver).
+    try:
+        return _train_epochs(config, state, train_step, eval_step, train_ds,
+                             val_ds, mesh, names, train_w, val_w, saver,
+                             min_loss, cont, rng, history, ckpt_path)
+    finally:
         if saver is not None:
             saver.close()
-        return ret
 
+
+def _train_epochs(config, state, train_step, eval_step, train_ds, val_ds, mesh,
+                  names, train_w, val_w, saver, min_loss, cont, rng, history,
+                  ckpt_path):
     for epoch in range(config.epochs):
         t0 = time.time()
         perm = rng.permutation(len(train_ds))
@@ -205,7 +216,7 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
             if cont >= config.patience:
                 if config.verbose:
                     print("Early Stopping! \t Training Stopped")
-                return _finish((state, history))
+                return state, history
         else:
             cont = 0
             min_loss = val_loss
@@ -219,4 +230,4 @@ def train_model(config: TrainConfig, state, train_step, eval_step,
             saver.save_epoch(os.path.join(config.results_path, "checkpoints"),
                              state, epoch)
 
-    return _finish((state, history))
+    return state, history

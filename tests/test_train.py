@@ -180,6 +180,31 @@ class TestAsyncCheckpoint:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestAsyncMetaOrdering:
+    def test_meta_never_outruns_commit(self, tmp_path):
+        """meta.json must only appear once the async checkpoint commit is
+        drained (a crash mid-commit must not leave metadata pointing at no
+        checkpoint)."""
+        import jax
+        from resuneta_tpu.models import UNet
+        from resuneta_tpu.train import create_train_state, checkpoint
+
+        model = UNet(num_classes=3, base_filters=4)
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 3),
+                                   "adam", 1e-3)
+        saver = checkpoint.AsyncSaver()
+        try:
+            saver.save_best(str(tmp_path / "best.ckpt"), state, epoch=3,
+                            min_loss=0.5)
+            assert not os.path.exists(str(tmp_path / "best.ckpt.meta.json"))
+            saver.wait()
+            assert os.path.exists(str(tmp_path / "best.ckpt.meta.json"))
+        finally:
+            saver.close()
+        _, meta = checkpoint.restore(str(tmp_path / "best.ckpt"), state)
+        assert meta == {"epoch": 3, "min_val_loss": 0.5}
+
+
 class TestLearning:
     def test_overfits_tiny_dataset(self):
         """End-to-end gradient sanity beyond parity tests: the full multitask
@@ -216,3 +241,19 @@ class TestLearning:
             accs.append(float(np.asarray(row)[5]))
         assert accs[-1] > 0.75, accs[-5:]
         assert accs[-1] > accs[0] + 0.3, (accs[0], accs[-1])
+
+        # mIoU floor — the BASELINE.md quality-gate metric must be computable
+        # from a trained model and must clear chance (~0.2/5-class) by a wide
+        # margin on the overfit set. Train-mode forward (batch statistics): 30
+        # steps move the momentum-0.99 running stats far too little for an
+        # eval-mode check to be meaningful.
+        from resuneta_tpu.metrics import mean_iou
+        from resuneta_tpu.ops.normalize import normalize_rgb
+        x = normalize_rgb(jnp.asarray(batch["image_u8"], jnp.float32), 1)
+        out, _ = model.apply({"params": state.params,
+                              "batch_stats": state.batch_stats}, x, train=True,
+                             mutable=["batch_stats"])
+        pred_ids = np.argmax(np.asarray(out["seg"]), axis=-1)
+        miou, _ = mean_iou(np.asarray(batch["label_ids"]).ravel(),
+                           pred_ids.ravel(), labels=list(range(nc)))
+        assert miou > 0.5, miou
