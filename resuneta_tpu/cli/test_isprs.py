@@ -62,7 +62,7 @@ def main(argv=None):
     from ..models import ResUnetA, UNet
     from ..train import create_train_state, checkpoint
     from ..infer import predict_patches
-    from ..metrics import compute_metrics, confusion_matrix
+    from ..metrics import compute_metrics, confusion_matrix, iou_per_class
     from ..ops.normalize import normalize_rgb, normalization
     from ..ops.patches import extract_patches_nonoverlap, reconstruct_from_patches
     from ..data.isprs import LABEL_DICT, binarize_matrix, class_ids_to_rgb, \
@@ -129,6 +129,11 @@ def main(argv=None):
     print("F1score: ", metrics[1])
     print("Recall: ", metrics[2])
     print("Precision: ", metrics[3])
+    # BASELINE.md quality gate: segmentation mIoU (per-class Jaccard from the
+    # same confusion matrix the reference prints at test_ISPRS.py:304-314)
+    ious = iou_per_class(cm)
+    print("IoU per class: ", 100.0 * ious)
+    print("mIoU: ", 100.0 * ious.mean())
 
     H, W = binary_ref.shape
     if args.overlap_stride and args.overlap_stride < args.patch_size:

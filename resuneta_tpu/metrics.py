@@ -91,6 +91,28 @@ def compute_metrics(true_labels, predicted_labels, labels=None):
     return accuracy, 100.0 * f1, 100.0 * recall, 100.0 * precision
 
 
+def iou_per_class(cm):
+    """Per-class IoU (Jaccard) from a confusion matrix: diag / (row + col - diag).
+
+    Matches sklearn.metrics.jaccard_score(average=None) over the label set the
+    matrix was built with; classes absent from both truth and prediction get
+    IoU 0 (sklearn's zero_division=0 default). This is the BASELINE.md quality
+    gate's metric (mIoU parity +-0.3), derived from the same confusion matrix the
+    reference computes at test_ISPRS.py:304-314."""
+    cm = np.asarray(cm, np.float64)
+    diag = np.diag(cm)
+    union = cm.sum(axis=0) + cm.sum(axis=1) - diag
+    return np.divide(diag, union, out=np.zeros_like(diag), where=union > 0)
+
+
+def mean_iou(true_labels, predicted_labels, labels=None):
+    """mIoU: mean of per-class IoU over the sorted label union (or explicit
+    `labels`). Returns (miou, iou_per_class_array)."""
+    cm = confusion_matrix(true_labels, predicted_labels, labels)
+    ious = iou_per_class(cm)
+    return float(ious.mean()), ious
+
+
 def alarm_area(cm_2class):
     """Amazon alarm-area metric (amazon_py/main.py:157-158): (TP+FP)/total over the
     binary deforestation confusion matrix."""

@@ -105,6 +105,21 @@ class TestMetrics:
             metrics.confusion_matrix(t, p), skm.confusion_matrix(t, p)
         )
 
+    def test_miou_vs_sklearn_jaccard(self):
+        skm = pytest.importorskip("sklearn.metrics")
+        rng = np.random.default_rng(2)
+        t = rng.integers(0, 5, 10000)
+        p = rng.integers(0, 5, 10000)
+        miou, ious = metrics.mean_iou(t, p)
+        np.testing.assert_allclose(
+            ious, skm.jaccard_score(t, p, average=None), rtol=1e-12)
+        np.testing.assert_allclose(
+            miou, skm.jaccard_score(t, p, average="macro"), rtol=1e-12)
+        # absent class -> IoU 0 (sklearn zero_division=0), perfect class -> 1
+        miou2, ious2 = metrics.mean_iou(
+            np.zeros(64, int), np.zeros(64, int), labels=[0, 1])
+        assert ious2[0] == 1.0 and ious2[1] == 0.0 and miou2 == 0.5
+
     def test_binary_counts_and_mcc(self):
         rng = np.random.default_rng(1)
         y = _rand_onehot(rng, 2, 8, 8, 5)
