@@ -1,0 +1,373 @@
+"""Training-STEP numerical parity vs the reference graph (VERDICT round-2 #3).
+
+Extends the forward-parity harness (tests/test_keras_import.py) to the backward
+pass: identical weights + identical batch must give the same loss, the same
+per-layer gradients, the same Adam update (train_on_batch,
+/root/reference/train_ISPRS.py:148), and the same BatchNorm moving-statistics
+update — for the trained configuration (Tanimoto dual, multitask,
+train_ISPRS.py:418-429) AND the weighted-CE single-task configuration
+(train_ISPRS.py:424-428). This is the strongest parity evidence obtainable
+without the ISPRS rasters.
+
+Optimizer-rule note: Keras Adam applies epsilon to sqrt(v) (biased), optax to
+sqrt(v_hat) (bias-corrected) — algebraically Keras == optax with
+eps_t = eps / sqrt(1 - b2^t). The update-parity test therefore runs ONE step
+with optax eps = 1e-7 / sqrt(1 - 0.999), where the two rules coincide exactly;
+the production default differs from Keras only in this eps placement (a
+stability knob, ~3e-6 vs 1e-7 — negligible against non-degenerate sqrt(v)).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # keep TF convs bit-stable
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+tf = pytest.importorskip("tensorflow")
+
+# Single-threaded TF: multi-threaded conv/reduction schedules are
+# nondeterministic ACROSS RUNS, which made the worst-layer gradient error
+# wander around the tolerance (observed 0.008-0.013 for the same code).
+# Must run before any TF op executes.
+try:
+    tf.config.threading.set_intra_op_parallelism_threads(1)
+    tf.config.threading.set_inter_op_parallelism_threads(1)
+except RuntimeError:  # context already initialized (e.g. re-import)
+    pass
+
+from tools.import_keras import (build_reference_model, import_keras_weights,
+                                keras_layer_order, flax_layer_order)
+
+PS, NC, BS = 64, 5, 2
+LR = 1e-4
+
+
+def _randomize_bn(kmodel, seed):
+    rng = np.random.default_rng(seed)
+    for layer in kmodel.layers:
+        if type(layer).__name__ == "BatchNormalization":
+            g, b, m, v = layer.get_weights()
+            layer.set_weights([
+                1 + 0.1 * rng.standard_normal(g.shape).astype(np.float32),
+                0.1 * rng.standard_normal(b.shape).astype(np.float32),
+                0.1 * rng.standard_normal(m.shape).astype(np.float32),
+                (1 + 0.1 * np.abs(rng.standard_normal(v.shape))).astype(np.float32),
+            ])
+
+
+def _batch(multitask, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((BS, PS, PS, 3), np.float32)
+    seg = np.eye(NC, dtype=np.float32)[rng.integers(0, NC, (BS, PS, PS))]
+    if not multitask:
+        return x, {"seg": seg}
+    return x, {
+        "seg": seg,
+        "bound": np.eye(NC, dtype=np.float32)[rng.integers(0, NC, (BS, PS, PS))],
+        "dist": rng.random((BS, PS, PS, NC), np.float32),
+        "color": rng.random((BS, PS, PS, 3), np.float32),
+    }
+
+
+def _tf_var_list(kmodel, multitask):
+    """Trainable variables in the importer's layer order: (conv kernel, bias)*
+    then (bn gamma, beta)* — the order our grad flattening uses too."""
+    kconvs, kbns = keras_layer_order(kmodel, multitasking=multitask)
+    out = []
+    for l in kconvs:
+        out += [l.kernel, l.bias]
+    for l in kbns:
+        out += [l.gamma, l.beta]
+    return out
+
+
+def _flax_grad_list(grads, model, multitask):
+    import jax
+    convs, bns, _ = flax_layer_order(
+        model, (1, PS, PS, 3))
+
+    def walk(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    out = []
+    for path in convs:
+        node = walk(grads, path)
+        out += [np.asarray(node["kernel"]), np.asarray(node["bias"])]
+    for path in bns:
+        node = walk(grads, path)
+        out += [np.asarray(node["scale"]), np.asarray(node["bias"])]
+    return out
+
+
+def _rel_l2(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def _grad_err(a, b, atol=1e-6):
+    """Relative L2 with an absolute floor: a conv bias feeding straight into
+    BatchNorm has a mathematically ZERO gradient (BN subtracts the mean), so
+    both frameworks emit ~1e-10 numerical noise there and a pure relative
+    comparison is meaningless."""
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    d = np.linalg.norm(a - b)
+    return 0.0 if d <= atol else d / max(np.linalg.norm(b), 1e-12)
+
+
+def _our_loss_and_grads(model, variables, x, y, loss_fns, loss_weights,
+                        multitask):
+    import jax
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x)
+    yj = {k: jnp.asarray(v) for k, v in y.items()}
+
+    def loss_fn(params):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xj, train=True, mutable=["batch_stats"])
+        if multitask:
+            total = sum(loss_weights[h] * loss_fns[h](yj[h], out[h])
+                        for h in yj)
+        else:
+            total = loss_fns["seg"](yj["seg"], out)
+        return total, mutated["batch_stats"]
+
+    (total, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    return float(total), grads, new_stats
+
+
+class TestMultitaskTanimotoParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from resuneta_tpu.models import ResUnetA
+        kmodel = build_reference_model(patch_size=PS, num_classes=NC,
+                                       multitasking=True)
+        _randomize_bn(kmodel, seed=5)
+        model = ResUnetA(num_classes=NC, img_size=PS, multitasking=True)
+        variables = import_keras_weights(kmodel, model, (1, PS, PS, 3),
+                                         multitasking=True)
+        return kmodel, model, variables
+
+    @pytest.mark.slow
+    def test_loss_and_gradient_parity(self, setup):
+        kmodel, model, variables = setup
+        x, y = _batch(multitask=True)
+
+        sys.path.insert(0, "/root/reference")
+        from multitasking_utils import Tanimoto_dual_loss
+        dual = Tanimoto_dual_loss()
+        weights = {"seg": 1.0, "bound": 1.0, "dist": 1.0, "color": 1.0}
+
+        var_list = _tf_var_list(kmodel, multitask=True)
+        with tf.GradientTape() as tape:
+            out = kmodel(tf.constant(x), training=True)
+            ktotal = tf.add_n([weights[h] * tf.reduce_mean(
+                dual(tf.constant(y[h]), out[h])) for h in y])
+        kgrads = tape.gradient(ktotal, var_list)
+
+        from resuneta_tpu.losses import make_losses
+        total, grads, _ = _our_loss_and_grads(
+            model, variables, x, y, make_losses("tanimoto"), weights,
+            multitask=True)
+
+        np.testing.assert_allclose(total, float(ktotal), rtol=2e-3)
+
+        ours = _flax_grad_list(grads, model, multitask=True)
+        assert len(ours) == len(kgrads)
+        worst = 0.0
+        for i, (g_ours, g_ref) in enumerate(zip(ours, kgrads)):
+            g_ref = np.asarray(g_ref)
+            assert g_ours.shape == g_ref.shape, i
+            worst = max(worst, _grad_err(g_ours, g_ref))
+        # worst-LAYER relative error through a 50+-layer f32 backward; layers
+        # with small ||g|| are noise-dominated and land ~1e-2 (a wrong formula
+        # — loss derivative, BN backward, head wiring — lands O(1))
+        assert worst < 3e-2, worst
+
+    @pytest.mark.slow
+    def test_adam_update_and_bn_stats_parity(self, setup):
+        kmodel, model, _ = setup
+        # Re-import from kmodel's CURRENT state: every training=True Keras call
+        # (e.g. the gradient test above, eager BN) updates kmodel's moving
+        # statistics in place, so the fixture-time import is already stale here.
+        variables = import_keras_weights(kmodel, model, (1, PS, PS, 3),
+                                         multitasking=True)
+        x, y = _batch(multitask=True, seed=3)
+
+        sys.path.insert(0, "/root/reference")
+        from multitasking_utils import Tanimoto_dual_loss
+
+        kweights_before = [np.asarray(v) for v in _tf_var_list(kmodel, True)]
+        kmodel.compile(
+            optimizer=tf.keras.optimizers.Adam(learning_rate=LR, beta_1=0.9),
+            loss={h: Tanimoto_dual_loss() for h in y},
+            loss_weights={h: 1.0 for h in y})
+        kmodel.train_on_batch(x=x, y=y)
+        kweights_after = [np.asarray(v) for v in _tf_var_list(kmodel, True)]
+
+        # our production step, eps matched to Keras' placement at t=1
+        import jax.numpy as jnp
+        import optax
+        from resuneta_tpu.train.state import TrainState
+        from resuneta_tpu.train import make_train_step
+        from resuneta_tpu.losses import make_losses
+
+        eps_t1 = 1e-7 / np.sqrt(1 - 0.999)
+        tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=LR, b1=0.9, eps=eps_t1)
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32), params=variables["params"],
+            batch_stats=variables["batch_stats"], opt_state=tx.init(
+                variables["params"]), tx=tx, apply_fn=model.apply)
+        step = make_train_step(make_losses("tanimoto"),
+                               {h: 1.0 for h in y}, multitasking=True,
+                               donate=False)
+        batch = {"image": jnp.asarray(x),
+                 **{h: jnp.asarray(v) for h, v in y.items()}}
+        new_state, _ = step(state, batch)
+
+        new_vars = {"params": new_state.params,
+                    "batch_stats": new_state.batch_stats}
+        ours_after = []
+        convs, bns, _ = flax_layer_order(model, (1, PS, PS, 3))
+
+        def walk(tree, path):
+            for p in path:
+                tree = tree[p]
+            return tree
+
+        for path in convs:
+            node = walk(new_vars["params"], path)
+            ours_after += [np.asarray(node["kernel"]), np.asarray(node["bias"])]
+        for path in bns:
+            node = walk(new_vars["params"], path)
+            ours_after += [np.asarray(node["scale"]), np.asarray(node["bias"])]
+
+        # compare the UPDATES (w_after - w_before), not the raw weights —
+        # updates are lr-scale and expose any optimizer-rule divergence.
+        # At t=1 Adam is ~lr*sign(g) per element, so elements whose |g| sits
+        # near the cross-framework float-noise floor flip SIGN between
+        # frameworks and each contributes 2*lr to a naive diff, which makes a
+        # plain rel-l2 threshold flaky (the flip count varies run to run with
+        # TF threading). So: identify the sign-flipped elements explicitly,
+        # bound their fraction (noise flips are rare; a wrong RULE — eps
+        # placement, bias correction, lr scaling — flips or rescales EVERY
+        # element, see test_adam_rule_matches_keras), and require the
+        # non-flipped remainder to agree tightly.
+        worst = 0.0
+        n_flip, n_tot = 0, 0
+        for w0, k1, o1 in zip(kweights_before, kweights_after, ours_after):
+            du_o = np.asarray(o1 - w0, np.float64).ravel()
+            du_k = np.asarray(k1 - w0, np.float64).ravel()
+            flip = du_o * du_k < 0
+            n_flip += int(flip.sum())
+            n_tot += flip.size
+            worst = max(worst, _grad_err(du_o[~flip], du_k[~flip], atol=4e-6))
+        assert n_flip / n_tot < 0.01, (n_flip, n_tot)
+        assert worst < 0.1, worst
+
+        # BN moving statistics after one training step (momentum 0.99)
+        kbns = keras_layer_order(kmodel, multitasking=True)[1]
+        worst_stats = 0.0
+        for klayer, path in zip(kbns, bns):
+            _, _, kmean, kvar = klayer.get_weights()
+            node = walk(new_vars["batch_stats"], path)
+            worst_stats = max(worst_stats, _rel_l2(node["mean"], kmean))
+            worst_stats = max(worst_stats, _rel_l2(node["var"], kvar))
+        assert worst_stats < 5e-3, worst_stats
+
+
+class TestAdamRule:
+    def test_adam_rule_matches_keras(self):
+        """Pure optimizer-rule parity: IDENTICAL gradients into Keras Adam and
+        optax adam (eps matched per the module docstring) must give identical
+        updates over several steps — isolates the update rule from backward-
+        pass float noise."""
+        import jax.numpy as jnp
+        import optax
+
+        rng = np.random.default_rng(0)
+        shapes = [(3, 3, 8, 8), (8,), (32,)]
+        params = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+        grads_seq = [[rng.standard_normal(s).astype(np.float32) * 10.0 ** e
+                      for s, e in zip(shapes, (-1, -4, -7))]
+                     for _ in range(3)]
+
+        kvars = [tf.Variable(p) for p in params]
+        kopt = tf.keras.optimizers.Adam(learning_rate=LR, beta_1=0.9)
+        for gs in grads_seq:
+            kopt.apply_gradients(zip([tf.constant(g) for g in gs], kvars))
+        kfinal = [np.asarray(v) for v in kvars]
+
+        b2 = 0.999
+        jparams = [jnp.asarray(p) for p in params]
+        # time-varying eps: Keras applies eps to sqrt(v) (biased), optax to
+        # sqrt(v_hat); exact equivalence needs eps_t = eps / sqrt(1 - b2^t)
+        for t, gs in enumerate(grads_seq, start=1):
+            tx = optax.adam(LR, b1=0.9, b2=b2, eps=1e-7 / np.sqrt(1 - b2 ** t))
+            # rebuild state at step t-1 by replaying moments manually
+            if t == 1:
+                opt_state = tx.init(jparams)
+            opt_state = (optax.ScaleByAdamState(
+                count=jnp.asarray(t - 1), mu=opt_state[0].mu,
+                nu=opt_state[0].nu),) + opt_state[1:]
+            updates, opt_state = tx.update([jnp.asarray(g) for g in gs],
+                                           opt_state, jparams)
+            jparams = optax.apply_updates(jparams, updates)
+
+        for k, o in zip(kfinal, jparams):
+            np.testing.assert_allclose(np.asarray(o), k, rtol=2e-5, atol=2e-7)
+
+
+class TestSingleTaskWCEParity:
+    @pytest.mark.slow
+    def test_wce_loss_and_gradient_parity(self):
+        from resuneta_tpu.models import ResUnetA
+        kmodel = build_reference_model(patch_size=PS, num_classes=NC,
+                                       multitasking=False)
+        _randomize_bn(kmodel, seed=9)
+        model = ResUnetA(num_classes=NC, img_size=PS, multitasking=False)
+        variables = import_keras_weights(kmodel, model, (1, PS, PS, 3),
+                                         multitasking=False)
+        x, y = _batch(multitask=False, seed=1)
+
+        # the reference WCE formula (utils.py:466-491) inlined in TF — the
+        # reference module itself imports skimage, absent in this image
+        wce_weights = [4.34558461, 2.97682037, 3.92124661, 5.67350328,
+                       374.0300152]  # train_ISPRS.py:424
+        kw = tf.constant(wce_weights, tf.float32)
+
+        def ref_wce(y_true, y_pred):
+            y_pred = y_pred / tf.reduce_sum(y_pred, axis=-1, keepdims=True)
+            y_pred = tf.clip_by_value(y_pred, tf.keras.backend.epsilon(),
+                                      1 - tf.keras.backend.epsilon())
+            return -tf.reduce_sum(y_true * tf.math.log(y_pred) * kw, axis=-1)
+
+        var_list = _tf_var_list(kmodel, multitask=False)
+        with tf.GradientTape() as tape:
+            out = kmodel(tf.constant(x), training=True)
+            ktotal = tf.reduce_mean(ref_wce(tf.constant(y["seg"]), out))
+        kgrads = tape.gradient(ktotal, var_list)
+
+        from resuneta_tpu.losses import make_losses
+        total, grads, _ = _our_loss_and_grads(
+            model, variables, x, y,
+            make_losses("weighted_cross_entropy", wce_weights=wce_weights),
+            {"seg": 1.0}, multitask=False)
+
+        np.testing.assert_allclose(total, float(ktotal), rtol=2e-3)
+        ours = _flax_grad_list(grads, model, multitask=False)
+        assert len(ours) == len(kgrads)
+        worst = 0.0
+        for g_ours, g_ref in zip(ours, kgrads):
+            # noise floor scales with the loss (~195 vs ~1.9 for tanimoto)
+            worst = max(worst, _grad_err(g_ours, np.asarray(g_ref), atol=1e-4))
+        assert worst < 3e-2, worst  # see the tanimoto test's threshold note
