@@ -50,7 +50,7 @@ def distance_transform_edt(binary_hw):
         return jnp.where(seed_arr >= 0, d2, _BIG_I32)
 
     step = 1
-    steps = []
+    steps = [1]  # leading step-1 pass: see ops/pallas/jfa.py _jfa_steps
     while step < max(H, W):
         step <<= 1
     while step >= 1:
@@ -58,13 +58,17 @@ def distance_transform_edt(binary_hw):
         step >>= 1
     steps.append(1)  # JFA+1 refinement pass
 
+    # Jacobi schedule: every pass takes all 8 neighbor candidates from the
+    # PASS-START seed (the textbook JFA), so the row-tiled Pallas kernel
+    # (ops/pallas/jfa.py, halo = step) is bit-identical to this path.
     for s in steps:
-        best_d2 = d2_of(seed)
+        prev = seed
+        best_d2 = d2_of(prev)
         for di in (-s, 0, s):
             for dj in (-s, 0, s):
                 if di == 0 and dj == 0:
                     continue
-                ns = _shift_i(seed, di, dj, fill=-1)
+                ns = _shift_i(prev, di, dj, fill=-1)
                 cand_d2 = d2_of(ns)
                 better = cand_d2 < best_d2
                 seed = jnp.where(better, ns, seed)
@@ -93,11 +97,16 @@ def get_distance_label(label_hwc):
     # default on TPU (2.1x the XLA JFA, bit-identical); RESUNETA_NO_PALLAS opts out
     use_pallas = not os.environ.get("RESUNETA_NO_PALLAS")
     if use_pallas:
-        from .pallas.jfa import pallas_available, distance_transform_edt_pallas
+        from .pallas.jfa import (pallas_available, tiled_available,
+                                 distance_transform_edt_pallas,
+                                 distance_transform_edt_pallas_tiled)
 
-        plane = label_hwc.shape[0] * label_hwc.shape[1]
-        if pallas_available(plane):
+        H, W = label_hwc.shape[0], label_hwc.shape[1]
+        if pallas_available(H * W):
             dists = distance_transform_edt_pallas(chan_first)
+        elif tiled_available(H, W):
+            # >= 1024px planes: row-tiled band-DMA flood (same numerics)
+            dists = distance_transform_edt_pallas_tiled(chan_first)
         else:
             dists = jax.vmap(distance_transform_edt)(chan_first)
     else:

@@ -21,6 +21,29 @@ class TestPallasJFA:
             jnp.asarray(x), interpret=True))
         np.testing.assert_allclose(out, ref, atol=1e-5)
 
+    def test_tiled_matches_lax_impl_interpret(self):
+        """Row-tiled band-DMA flood (the >= 1024px path) must be bit-identical
+        to the XLA implementation; tile=16 on 64px planes exercises multiple
+        tiles + every step-size class (s >= H skipped, s >= tile, s < tile)."""
+        rng = np.random.default_rng(1)
+        x = (rng.uniform(size=(3, 64, 128)) > 0.3).astype(np.int32)
+        ref = np.stack([
+            np.asarray(distance_transform_edt(jnp.asarray(p))) for p in x
+        ])
+        out = np.asarray(jfa.distance_transform_edt_pallas_tiled(
+            jnp.asarray(x), tile=16, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+    @pytest.mark.slow
+    def test_tiled_1024px_interpret(self):
+        """The actual target size: one 1024x1024 plane, default tile."""
+        rng = np.random.default_rng(2)
+        x = (rng.uniform(size=(1, 1024, 1024)) > 0.5).astype(np.int32)
+        ref = np.asarray(distance_transform_edt(jnp.asarray(x[0])))
+        out = np.asarray(jfa.distance_transform_edt_pallas_tiled(
+            jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(out[0], ref)
+
     def test_degenerate_planes_interpret(self):
         allzero = jnp.zeros((1, 16, 16), jnp.int32)
         out = np.asarray(jfa.distance_transform_edt_pallas(allzero, interpret=True))
