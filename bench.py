@@ -50,7 +50,8 @@ def main():
     from resuneta_tpu.data import make_device_pipeline
     from resuneta_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
                                             shard_batch, shard_batch_spatial,
-                                            replicate_state)
+                                            replicate_state,
+                                            sharded_trace_scope)
 
     ps = int(os.environ.get("BENCH_PATCH_SIZE", 256))
     bs = int(os.environ.get("BENCH_BATCH_SIZE", 16))
@@ -80,8 +81,12 @@ def main():
     pipeline = make_device_pipeline(num_classes, norm_type=1, multitasking=True)
     loss_fns = make_losses("tanimoto")
     weights = {"seg": 1.0, "bound": 1.0, "dist": 1.0, "color": 1.0}
+    # BENCH_REMAT=1: apply the SAVE_CONVS rematerialization policy — measured
+    # negative at 256px (BENCH_NOTES.md) but halves activation memory, the
+    # relevant regime for 512px/large-batch configs
     train_step = make_train_step(loss_fns, weights, multitasking=True,
-                                 preprocess=pipeline)
+                                 preprocess=pipeline,
+                                 remat=os.environ.get("BENCH_REMAT") == "1")
 
     rng = np.random.default_rng(0)
     batch = {
@@ -96,9 +101,11 @@ def main():
         batch = (shard_batch_spatial(batch, mesh) if "space" in mesh.axis_names
                  else shard_batch(batch, mesh))
 
-    # warmup / compile
-    for _ in range(3):
-        state, row = train_step(state, batch)
+    # warmup / compile (mesh-sharded programs trace without the Pallas
+    # segment kernels — they are opaque to GSPMD)
+    with sharded_trace_scope(mesh):
+        for _ in range(3):
+            state, row = train_step(state, batch)
     np.asarray(row)
 
     t0 = time.perf_counter()
@@ -111,11 +118,47 @@ def main():
     label = f"train patches/sec/chip ({ps}px multitask)"
     if mesh is not None:
         label = f"train patches/sec ({ps}px multitask, mesh {mesh_spec})"
+
+    # ---- tunnel-independent accounting: device time from a profiler trace
+    # (wall-clock through the axon tunnel drifts day to day; device op time is
+    # the reproducible number — BENCH_NOTES.md) + the secondary inference metric
+    extras = {"train_wall_ms_per_step": round(dt / steps * 1e3, 2)}
+    if not os.environ.get("BENCH_NO_PROFILE"):
+        import tempfile
+        from resuneta_tpu.utils.xprof import capture_device_ms
+
+        def one_step():
+            nonlocal state, row
+            state, row = train_step(state, batch)
+
+        with tempfile.TemporaryDirectory() as td:
+            dev_ms = capture_device_ms(one_step, 3, td,
+                                       sync=lambda: np.asarray(row))
+        if dev_ms:
+            extras["train_device_ms_per_step"] = round(dev_ms, 2)
+            extras["train_device_patches_per_sec"] = round(bs / dev_ms * 1e3, 2)
+
+    if not os.environ.get("BENCH_NO_INFER") and mesh is None:
+        from resuneta_tpu.infer import predict_patches, make_seg_ids_fn
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        ids_fn = make_seg_ids_fn(model, variables, multitask=True, norm_type=1)
+        n_inf = int(os.environ.get("BENCH_N_PATCHES", 96))
+        ipatches = np.random.default_rng(1).integers(
+            0, 256, (n_inf, ps, ps, 3), dtype=np.uint8)
+        ibs = 32
+        predict_patches(ids_fn, ipatches[:ibs], batch_size=ibs)  # compile
+        t0 = time.perf_counter()
+        predict_patches(ids_fn, ipatches, batch_size=ibs)
+        idt = time.perf_counter() - t0
+        extras["infer_mpix_per_sec"] = round(n_inf * ps * ps / idt / 1e6, 2)
+
     result = {
         "metric": label,
         "value": round(patches_per_sec, 2),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / REFERENCE_ESTIMATE_PATCHES_PER_SEC, 2),
+        "extras": extras,
     }
     print(json.dumps(result))
 

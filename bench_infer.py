@@ -41,12 +41,28 @@ def main():
     assert ids.dtype == np.uint8
     dt = time.perf_counter() - t0
 
+    # device-time accounting (tunnel-independent denominator, BENCH_NOTES.md)
+    extras = {"wall_s": round(dt, 3)}
+    if not os.environ.get("BENCH_NO_PROFILE"):
+        import tempfile
+        from resuneta_tpu.utils.xprof import capture_device_ms
+
+        with tempfile.TemporaryDirectory() as td:
+            dev_ms = capture_device_ms(
+                lambda: predict_patches(ids_fn, patches, batch_size=bs),
+                2, td, sync=lambda: None)
+        if dev_ms:
+            extras["device_ms_per_pass"] = round(dev_ms, 2)
+            extras["device_mpix_per_sec"] = round(
+                n_patches * ps * ps / dev_ms / 1e3, 2)
+
     mpix = n_patches * ps * ps / dt / 1e6
     print(json.dumps({
         "metric": "sliding-window inference Mpix/s (256px multitask)",
         "value": round(mpix, 2),
         "unit": "Mpix/s",
         "vs_baseline": None,
+        "extras": extras,
     }))
 
 
