@@ -68,14 +68,21 @@ def prediction2(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
     """utils2.py:370-417: like prediction() but patches come from
     extract_patches_right_region_prediction (only fully-valid patches, stride =
     patch_size) — suitable when the raster footprint excludes border regions.
-    NB: reconstruction assumes the valid patches tile the full grid; otherwise use
-    prediction()."""
+    Reconstruction requires the valid patches to tile the full grid (the reference
+    silently returns a scrambled image otherwise, utils2.py:370-417); here a
+    non-tiling patch set raises instead."""
     from ..data.amazon import extract_patches_right_region_prediction
 
     H, W = image_ref.shape
     patch_ts, patches_lb, _, _ = extract_patches_right_region_prediction(
         image_array, image_ref, mask_amazon_ts, final_mask, patch_size,
         stride=patch_size)
+    n_grid = (H // patch_size) * (W // patch_size)
+    if len(patch_ts) != n_grid:
+        raise ValueError(
+            f"prediction2: only {len(patch_ts)} of {n_grid} grid patches are "
+            "fully valid (reference contains -1 pixels) — reconstruction would "
+            "be misaligned. Use prediction() for rasters with invalid regions.")
     patch_ts = np.asarray(patch_ts, np.float32)
     patches_lb = np.asarray(patches_lb)
 

@@ -2,6 +2,7 @@
 augment-all/filtered balancing, tile stats, prediction variants, threshold sweep."""
 
 import numpy as np
+import pytest
 
 from resuneta_tpu.data.amazon import (
     extract_patches_right_region, extract_patches_right_region_prediction,
@@ -102,6 +103,16 @@ class TestPredictionVariants:
             _fake_apply, img, ref, ref, np.ones_like(ref), 16, area=4,
             batch_size=4)
         assert pred_map.shape == (32, 32)
+
+    def test_prediction2_raises_on_non_tiling_patches(self):
+        # a -1 region invalidates one grid patch -> reconstruction would be
+        # misaligned; the reference returns a scrambled image, we raise
+        img = np.zeros((32, 32, 2), np.float32)
+        ref = np.zeros((32, 32))
+        ref[0, 0] = -1
+        with pytest.raises(ValueError, match="fully valid"):
+            prediction2(_fake_apply, img, ref, ref, np.ones_like(ref), 16,
+                        area=4, batch_size=4)
 
     def test_matrics_AA_recall_full(self):
         prob = np.zeros((32, 32))
