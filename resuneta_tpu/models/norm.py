@@ -32,8 +32,12 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                 return_affine: bool = False, return_raw: bool = False):
-        C = x.shape[-1]
+                 return_affine: bool = False, return_raw: bool = False,
+                 features: Optional[int] = None):
+        # `features` overrides the channel count when x is a dense (N, H, W*C)
+        # view (the ResBlock fast path passes precomputed `stats` then, so x is
+        # only consulted for shape)
+        C = features if features is not None else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",

@@ -72,13 +72,23 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, prologue=None, bn_raw=None, epilogue=None,
-                 act: bool = True):
-        C = x.shape[-1]
+                 act: bool = True, dense_width: int = None):
+        # dense_width set => x is the dense (N, H, W*C) view (ResBlockA's
+        # fast path); the segment must run through the dense fused kernel and
+        # the result stays dense
+        C = x.shape[-1] if dense_width is None else x.shape[-1] // dense_width
         kernel = self.param("kernel", _conv_init,
                             self.kernel_size + (C, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         d = self.kernel_dilation
+
+        if dense_width is not None:
+            from ..ops.pallas import convseg
+            scale, offset, mean, var = bn_raw
+            return convseg.fused_segment_dense(
+                dense_width, d, 1e-3, act, False, x, scale, offset, mean, var,
+                kernel, bias)
 
         if bn_raw is not None and self.kernel_size == (3, 3):
             # training path: (scale, bias, mean, var) from BatchNorm — run the
@@ -169,6 +179,50 @@ class ResBlockA(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+        fused_mode = os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT", "1")
+
+        if train and fused_mode == "1":
+            from ..ops.pallas import convseg
+            N, H, Wd, C = x.shape
+            if C == self.features and all(
+                    convseg.pallas_available(H, Wd, C, self.features, d)
+                    for d in self.dilation_rates):
+                return self._dense_train(x)
+
+        return self._generic(x, train, fused_mode)
+
+    def _dense_train(self, x):
+        """Whole-block dense fast path: ONE (N,H,W,C) -> (N,H,W*C) relayout in,
+        one out. Every segment runs the dense fused kernel, the residual adds
+        and BN statistics run on fully lane-packed views, and none of the
+        C < 128 lane-padded intermediate layouts (25% lane utilization and 4x
+        physical HBM bytes at C=32 — the profiled shallow-level layout tax,
+        BENCH_NOTES.md) ever exists between segments."""
+        from ..ops.fused_bn import bn_stats_dense
+
+        N, H, Wd, C = x.shape
+        xd = x.reshape(N, H, Wd * C)
+        shared = bn_stats_dense(xd, C)
+        out = xd
+        for d in self.dilation_rates:
+            bn1 = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                            act=True)
+            conv1 = Conv(self.features, (3, 3), kernel_dilation=d,
+                         dtype=self.dtype)
+            bn2 = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                            act=True)
+            conv2 = Conv(self.features, (3, 3), kernel_dilation=d,
+                         dtype=self.dtype)
+            raw1 = bn1(xd, True, stats=shared, return_raw=True, features=C)
+            b = _save(conv1(xd, bn_raw=raw1, dense_width=Wd))
+            raw2 = bn2(b, True, stats=bn_stats_dense(b, C), return_raw=True,
+                       features=C)
+            b = _save(conv2(b, bn_raw=raw2, dense_width=Wd))
+            out = out + b
+        return out.reshape(N, H, Wd, C)
+
+    def _generic(self, x, train, fused_mode):
         shared = bn_stats(x) if train else None
         out = x
         for d in self.dilation_rates:
@@ -181,15 +235,16 @@ class ResBlockA(nn.Module):
             conv2 = Conv(self.features, (3, 3), kernel_dilation=d,
                          dtype=self.dtype)
             if train:
-                import os
-                if os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT") in ("1", "2"):
+                if fused_mode in ("1", "2"):
                     # one-kernel fwd + one-kernel bwd per segment
-                    # (convseg.fused_segment). MEASURED NET-NEGATIVE on the
-                    # v5e bench (69.3 vs 75.8 patches/s — the weight-gradient
-                    # taps contract over the sublane dim, which Mosaic lowers
-                    # via transposes, outweighing the saved activation
-                    # passes), so opt-in; gradients are parity-tested against
-                    # autodiff (tests/test_pallas_convseg.py).
+                    # (convseg.fused_segment) — DEFAULT ON: the v2 kernels
+                    # (double-buffered window DMA, single z-transpose so the
+                    # weight-gradient taps are MXU-native matmuls) measure
+                    # 80.2 vs 75.9 patches/s unfused on the v5e bench
+                    # (BENCH_NOTES.md). RESUNETA_FUSED_TRAIN_SEGMENT=0 opts
+                    # out; =2 selects the XLA-fwd/Pallas-bwd hybrid (measured
+                    # slower, kept for A/B). Gradients are parity-tested
+                    # against autodiff (tests/test_pallas_convseg.py).
                     b = _save(conv1(
                         x, bn_raw=bn1(x, train, stats=shared, return_raw=True)))
                     b = _save(conv2(b, bn_raw=bn2(b, train, return_raw=True)))

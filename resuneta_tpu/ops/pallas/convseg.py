@@ -100,15 +100,53 @@ def pallas_available(H, W, C, Cout, d):
             and (W * C) % 128 == 0 and _plan_tile(H, W, C, d) is not None)
 
 
-def _start_window_copy(src_hbm, buf, sem, k, slot, *, T, tile, dup, win, pad):
+def _start_window_copy(src_hbm, buf, sem, k, slot, *, T, tile, dup, win, pad,
+                       rows):
     """Kick off the async copy of flat program index k's row window into
     double-buffer slot `slot` (the (N, T) grid runs sequentially per core, so
-    program k prefetches k+1's window and computes on its own)."""
+    program k prefetches k+1's window and computes on its own).
+
+    pad == 0 means the source is UNPADDED (`rows` image rows): the window start
+    is clamped into [0, rows - win] and the in-kernel tap slices compensate
+    with `_window_off` — no physical zero-padded copy of the activation ever
+    exists. pad > 0 is the fallback for planes shorter than one window."""
     i2 = k // T
     t2 = k - i2 * T
-    st = pl.multiple_of(pad + t2 * tile - dup, 8)
+    if pad:
+        st = pl.multiple_of(pad + t2 * tile - dup, 8)
+    else:
+        # tile, dup, rows, win are all multiples of 8, so the clamp preserves
+        # sublane alignment
+        st = pl.multiple_of(jnp.clip(t2 * tile - dup, 0, rows - win), 8)
     pltpu.make_async_copy(src_hbm.at[i2, pl.ds(st, win), :],
                           buf.at[slot], sem.at[slot]).start()
+
+
+def _window_off(t, *, tile, dup, win, rows):
+    """Row offset of the nominal window start relative to the clamped one:
+    after the copy, buffer row r holds image row clamp(nominal) + r instead of
+    nominal + r. Nonzero only for programs whose nominal window sticks out of
+    the image (the first/last few row-tiles)."""
+    nominal = t * tile - dup
+    return nominal - jnp.clip(nominal, 0, rows - win)
+
+
+def _realign_window(buf, slot, off):
+    """In-place circular shift of the DMA'd window so that buffer row r again
+    holds nominal image row (t*tile - dup) + r after a clamped (pad == 0)
+    window copy: result[r] = window[r + off]. Wrapped rows land on positions
+    whose nominal image row is outside [0, H) — every consumer masks those.
+    16-bit windows roll on the i32 sublane-pair view (off is a multiple of 8,
+    hence an even row count)."""
+    w = buf[slot]
+    if w.dtype.itemsize == 2:
+        v = pltpu.bitcast(w, jnp.int32)
+        n = v.shape[0]
+        buf[slot] = pltpu.bitcast(
+            pltpu.roll(v, jax.lax.rem(-(off // 2) + n, n), axis=0), w.dtype)
+    else:
+        n = w.shape[0]
+        buf[slot] = pltpu.roll(w, jax.lax.rem(-off + n, n), axis=0)
 
 
 def _wait_window_copy(src_hbm, buf, sem, slot, *, win):
@@ -154,18 +192,26 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
     NT = pl.num_programs(0) * T
     k = i * T + t
     slot = jax.lax.rem(k, 2)
+    src_rows = H if pad == 0 else H + 2 * pad
 
     @pl.when(k == 0)
     def _first():
-        _start_window_copy(in_hbm, buf, sem, k, slot,
-                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+        _start_window_copy(in_hbm, buf, sem, k, slot, T=T, tile=tile,
+                           dup=dup, win=win, pad=pad, rows=src_rows)
 
     @pl.when(k + 1 < NT)
     def _prefetch():
         _start_window_copy(in_hbm, buf, sem, k + 1, jax.lax.rem(k + 1, 2),
-                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+                           T=T, tile=tile, dup=dup, win=win, pad=pad,
+                           rows=src_rows)
 
     _wait_window_copy(in_hbm, buf, sem, slot, win=win)
+    if pad == 0:
+        off = _window_off(t, tile=tile, dup=dup, win=win, rows=src_rows)
+
+        @pl.when(off != 0)
+        def _boundary():
+            _realign_window(buf, slot, off)
 
     a = at_ref[0]
     b = bt_ref[0]
@@ -219,16 +265,18 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     NT = pl.num_programs(0) * T
     k = i * T + t
     slot = jax.lax.rem(k, 2)
+    src_rows = H if pad == 0 else H + 2 * pad
 
     @pl.when(k == 0)
     def _first():
-        _start_window_copy(g_hbm, gbuf, sem, k, slot,
-                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+        _start_window_copy(g_hbm, gbuf, sem, k, slot, T=T, tile=tile,
+                           dup=dup, win=win, pad=pad, rows=src_rows)
 
     @pl.when(k + 1 < NT)
     def _prefetch():
         _start_window_copy(g_hbm, gbuf, sem, k + 1, jax.lax.rem(k + 1, 2),
-                           T=T, tile=tile, dup=dup, win=win, pad=pad)
+                           T=T, tile=tile, dup=dup, win=win, pad=pad,
+                           rows=src_rows)
 
     @pl.when((i == 0) & (t == 0))
     def _init():
@@ -236,6 +284,12 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
         vec_ref[...] = jnp.zeros_like(vec_ref)
 
     _wait_window_copy(g_hbm, gbuf, sem, slot, win=win)
+    if pad == 0:
+        off = _window_off(t, tile=tile, dup=dup, win=win, rows=src_rows)
+
+        @pl.when(off != 0)
+        def _boundary():
+            _realign_window(gbuf, slot, off)
 
     a = at_ref[0]
     b = bt_ref[0]
@@ -298,26 +352,33 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     dx_ref[0] = (dzl * a).astype(dx_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "act", "interpret"))
-def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
-                       interpret: bool = False):
-    """y = conv_{3x3,d,SAME}(act(x*a + b)) @ w + bias, fused.
-
-    x: (N, H, W, C); a, b: (C,) affine (gamma*invstd, beta - mean*gamma*invstd);
-    w: (3, 3, C, C) HWIO; bias: (C,). Returns (N, H, W, C) in x.dtype.
-    """
-    N, H, Wd, C = x.shape
+@functools.partial(jax.jit,
+                   static_argnames=("width", "dilation", "act", "interpret"))
+def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
+                             act: bool = True, interpret: bool = False):
+    """Dense-view fused segment: xd is the (N, H, W*C) row-major view of the
+    activation and the result stays on that view — callers that chain segments
+    (models/resuneta.py dense ResBlock path) avoid any NHWC round-trip, whose
+    physical relayout (C < 128 channels padded onto lanes) costs more HBM
+    traffic than the conv itself at the shallow levels."""
+    N, H, lanes = xd.shape
+    C = a.shape[0]
+    Wd = width
+    assert Wd * C == lanes, (Wd, C, lanes)
     d = dilation
     tile = _plan_tile(H, Wd, C, d)
     if tile is None:
         raise ValueError(f"no tile plan for ({H},{Wd},{C}) d={d}; "
                          "guard with pallas_available()")
     T = H // tile
-    lanes = Wd * C
     g = 128 // C
-    pad = max(_dup(d), 8)
+    dup = _dup(d)
+    # pad == 0: window starts are clamped into the image and boundary programs
+    # realign in VMEM — the activation is never physically padded in HBM.
+    # Fallback to a padded copy only when one window exceeds the plane.
+    pad = 0 if tile + 2 * dup <= H else max(dup, 8)
 
-    xf = jnp.pad(x.reshape(N, H, lanes), ((0, 0), (pad, pad), (0, 0)))
+    xf = xd if pad == 0 else jnp.pad(xd, ((0, 0), (pad, pad), (0, 0)))
     a_t = jnp.tile(a.astype(jnp.float32), Wd).reshape(1, lanes)
     b_t = jnp.tile(b.astype(jnp.float32), Wd).reshape(1, lanes)
     bias_t = jnp.tile(bias.astype(jnp.float32), g).reshape(1, 128)
@@ -329,40 +390,58 @@ def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
     kernel = functools.partial(_segment_kernel, H=H, W=Wd, C=C, tile=tile,
                                d=d, act=act, pad=pad)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(N, T),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), rep, rep, rep, rep],
         out_specs=pl.BlockSpec((1, tile, lanes), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, H, lanes), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, H, lanes), xd.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * _dup(d), lanes), x.dtype),
+            pltpu.VMEM((2, tile + 2 * dup, lanes), xd.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xf, a_t, b_t, wblk, bias_t)
+
+
+def bn_act_conv_pallas(x, a, b, w, bias, *, dilation: int, act: bool = True,
+                       interpret: bool = False):
+    """y = conv_{3x3,d,SAME}(act(x*a + b)) @ w + bias, fused.
+
+    x: (N, H, W, C); a, b: (C,) affine (gamma*invstd, beta - mean*gamma*invstd);
+    w: (3, 3, C, C) HWIO; bias: (C,). Returns (N, H, W, C) in x.dtype.
+    """
+    N, H, Wd, C = x.shape
+    out = bn_act_conv_pallas_dense(
+        x.reshape(N, H, Wd * C), a, b, w, bias, width=Wd, dilation=dilation,
+        act=act, interpret=interpret)
     return out.reshape(N, H, Wd, C)
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "act", "interpret"))
-def _segment_bwd_pallas(x, g, a, b, mean, invstd, wblk, *, dilation: int,
-                        act: bool, interpret: bool = False):
-    """Runs _bwd_kernel over the grid. Returns (dx, dw_blocks, vecs) with
-    dw_blocks (3, 3, 128, 128) and vecs (3, 128) = [S1, S2, dc] in group-lane
-    layout (fold the 128/C groups to get per-channel values)."""
-    N, H, Wd, C = x.shape
+@functools.partial(jax.jit,
+                   static_argnames=("width", "dilation", "act", "interpret"))
+def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
+                              dilation: int, act: bool,
+                              interpret: bool = False):
+    """Runs _bwd_kernel over the grid on dense (N, H, W*C) views. Returns
+    (dxd, dw_blocks, vecs) with dw_blocks (3, 3, 128, 128) and vecs
+    (3, 128) = [S1, S2, dc] in group-lane layout (fold the 128/C groups to get
+    per-channel values)."""
+    N, H, lanes = xd.shape
+    C = a.shape[0]
+    Wd = width
     d = dilation
     tile = _plan_tile(H, Wd, C, d)
     if tile is None:
         raise ValueError("no tile plan; guard with pallas_available()")
     T = H // tile
-    lanes = Wd * C
-    pad = max(_dup(d), 8)
+    dup = _dup(d)
+    pad = 0 if tile + 2 * dup <= H else max(dup, 8)
 
-    xf = x.reshape(N, H, lanes)
-    gf = jnp.pad(g.astype(x.dtype).reshape(N, H, lanes),
-                 ((0, 0), (pad, pad), (0, 0)))
+    gf = gd.astype(xd.dtype)
+    if pad:
+        gf = jnp.pad(gf, ((0, 0), (pad, pad), (0, 0)))
 
     def vec(v):
         return jnp.tile(v.astype(jnp.float32), Wd).reshape(1, lanes)
@@ -377,7 +456,7 @@ def _segment_bwd_pallas(x, g, a, b, mean, invstd, wblk, *, dilation: int,
         in_specs=[
             pl.BlockSpec((1, tile, lanes), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),   # x tile (no halo needed)
-            pl.BlockSpec(memory_space=pl.ANY),        # padded g (DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),        # g window source (DMA'd)
             rep, rep, rep, rep, rep,
         ],
         out_specs=(
@@ -388,16 +467,25 @@ def _segment_bwd_pallas(x, g, a, b, mean, invstd, wblk, *, dilation: int,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N, H, lanes), x.dtype),
+            jax.ShapeDtypeStruct((N, H, lanes), xd.dtype),
             jax.ShapeDtypeStruct((3, 3, 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * _dup(d), lanes), x.dtype),
+            pltpu.VMEM((2, tile + 2 * dup, lanes), xd.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xf, gf, vec(a), vec(b), vec(mean), vec(invstd), wblk)
+    )(xd, gf, vec(a), vec(b), vec(mean), vec(invstd), wblk)
+    return dx, dw, vecs
+
+
+def _segment_bwd_pallas(x, g, a, b, mean, invstd, wblk, *, dilation: int,
+                        act: bool, interpret: bool = False):
+    N, H, Wd, C = x.shape
+    dx, dw, vecs = _segment_bwd_pallas_dense(
+        x.reshape(N, H, Wd * C), g.reshape(N, H, Wd * C), a, b, mean, invstd,
+        wblk, width=Wd, dilation=dilation, act=act, interpret=interpret)
     return dx.reshape(N, H, Wd, C), dw, vecs
 
 
@@ -443,14 +531,9 @@ def _fused_segment_fwd(dilation, eps, act, interpret, x, gamma, beta, mean,
     return y, (x, gamma, beta, mean, var, w)
 
 
-def _fused_segment_bwd(dilation, eps, act, interpret, res, g):
-    x, gamma, beta, mean, var, w = res
-    C = x.shape[-1]
-    a, b, invstd = _affine(gamma, beta, mean, var, eps)
-    dx, dwblk, vecs = _segment_bwd_pallas(
-        x, g, a, b, mean, invstd, _block_w(w), dilation=dilation, act=act,
-        interpret=interpret)
-
+def _fold_cotangents(dx, dwblk, vecs, x, gamma, invstd, w):
+    """(dx, block-diagonal tap grads, BN sums) -> the 7 input cotangents."""
+    C = gamma.shape[0]
     grp = 128 // C
     # fold the block-diagonal taps: true dW = sum of the diagonal blocks
     dw = dwblk.reshape(3, 3, grp, C, grp, C)
@@ -467,7 +550,48 @@ def _fused_segment_bwd(dilation, eps, act, interpret, res, g):
             dw.astype(w.dtype), dc.astype(jnp.float32))
 
 
+def _fused_segment_bwd(dilation, eps, act, interpret, res, g):
+    x, gamma, beta, mean, var, w = res
+    a, b, invstd = _affine(gamma, beta, mean, var, eps)
+    dx, dwblk, vecs = _segment_bwd_pallas(
+        x, g, a, b, mean, invstd, _block_w(w), dilation=dilation, act=act,
+        interpret=interpret)
+    return _fold_cotangents(dx, dwblk, vecs, x, gamma, invstd, w)
+
+
 fused_segment.defvjp(_fused_segment_fwd, _fused_segment_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_segment_dense(width, dilation, eps, act, interpret, xd, gamma, beta,
+                        mean, var, w, bias):
+    """fused_segment on dense (N, H, W*C) views: input AND output stay dense,
+    so a chain of segments (the dense ResBlock path, models/resuneta.py) never
+    materializes the lane-padded NHWC layout in between. `width` is the image
+    width W (static)."""
+    a, b, _ = _affine(gamma, beta, mean, var, eps)
+    return bn_act_conv_pallas_dense(xd, a, b, w, bias, width=width,
+                                    dilation=dilation, act=act,
+                                    interpret=interpret)
+
+
+def _fused_segment_dense_fwd(width, dilation, eps, act, interpret, xd, gamma,
+                             beta, mean, var, w, bias):
+    y = fused_segment_dense(width, dilation, eps, act, interpret, xd, gamma,
+                            beta, mean, var, w, bias)
+    return y, (xd, gamma, beta, mean, var, w)
+
+
+def _fused_segment_dense_bwd(width, dilation, eps, act, interpret, res, g):
+    xd, gamma, beta, mean, var, w = res
+    a, b, invstd = _affine(gamma, beta, mean, var, eps)
+    dx, dwblk, vecs = _segment_bwd_pallas_dense(
+        xd, g, a, b, mean, invstd, _block_w(w), width=width, dilation=dilation,
+        act=act, interpret=interpret)
+    return _fold_cotangents(dx, dwblk, vecs, xd, gamma, invstd, w)
+
+
+fused_segment_dense.defvjp(_fused_segment_dense_fwd, _fused_segment_dense_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))

@@ -163,6 +163,45 @@ class TestFusedSegmentVJP:
             np.testing.assert_allclose(f, r, rtol=0.06, atol=0.06 * scale,
                                        err_msg=name)
 
+    @pytest.mark.parametrize("d", [1, 3, 15, 31])
+    def test_clamped_windows_match_xla(self, d):
+        """H tall enough that windows fit inside the plane: the kernel runs
+        with pad == 0 (clamped DMA starts + in-VMEM boundary realign, no
+        physical zero-padding) and must still match the XLA composition at the
+        image borders."""
+        rng = np.random.default_rng(100 + d)
+        N, H, W, C = 1, 256, 16, 8
+        tile = convseg._plan_tile(H, W, C, d)
+        assert tile is not None and tile + 2 * convseg._dup(d) <= H, \
+            "shape no longer exercises the clamped-window path"
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
+        b = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        ref = np.asarray(_reference(x, a, b, w, bias, d, True), np.float32)
+        got = np.asarray(convseg.bn_act_conv_pallas(
+            x, a, b, w, bias, dilation=d, act=True, interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+    def test_dense_view_matches_nhwc(self):
+        rng = np.random.default_rng(7)
+        N, H, W, C, d = 2, 256, 16, 8, 3
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
+        b = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        nhwc = convseg.bn_act_conv_pallas(x, a, b, w, bias, dilation=d,
+                                          act=True, interpret=True)
+        dense = convseg.bn_act_conv_pallas_dense(
+            x.reshape(N, H, W * C), a, b, w, bias, width=W, dilation=d,
+            act=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(nhwc, np.float32),
+                                      np.asarray(dense, np.float32).reshape(
+                                          N, H, W, C))
+
     def test_forward_matches_eval_kernel(self):
         rng = np.random.default_rng(0)
         N, H, W, C = 1, 32, 32, 8
@@ -180,3 +219,74 @@ class TestFusedSegmentVJP:
                                         interpret=True)
         np.testing.assert_array_equal(np.asarray(y, np.float32),
                                       np.asarray(y2, np.float32))
+
+
+@pytest.mark.skipif(not convseg._PALLAS_OK, reason="pallas not importable")
+class TestDenseSegmentChain:
+    """The dense ResBlock composition (models/resuneta.py _dense_train):
+    bn_stats on the dense view + two chained dense fused segments + residual
+    add, vs the NHWC wrapper of the SAME kernels. Identical arithmetic (the
+    NHWC wrapper delegates to the dense kernel), so forward and all gradients
+    must agree to float-32 reduction noise — this pins the dense-view WIRING
+    (reshapes, width bookkeeping, stats folding). Segment-vs-XLA numerics are
+    covered by the single-segment tests above; an elementwise chain comparison
+    against an XLA composition is meaningless through two ReLUs (bf16 rounding
+    flips masks at z ~ 0)."""
+
+    @pytest.mark.parametrize("d", [1, 15])
+    def test_branch_matches_nhwc_autodiff(self, d):
+        from resuneta_tpu.ops.fused_bn import bn_stats_dense
+
+        rng = np.random.default_rng(40 + d)
+        N, H, W, C = 1, 256, 16, 8
+        eps = 1e-3
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        params = []
+        for i in range(2):
+            params += [
+                jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.3 + 1,
+                jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2,
+                jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2,
+                            jnp.float32),
+                jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1,
+            ]
+        cot = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+
+        def branch_nhwc(x, *p):
+            g1, b1, w1, c1, g2, b2, w2, c2 = p
+            m1, v1 = bn_stats_dense(x.reshape(N, H, W * C), C)
+            h = convseg.fused_segment(d, eps, True, True, x,
+                                      g1, b1, m1, v1, w1, c1)
+            m2, v2 = bn_stats_dense(h.reshape(N, H, W * C), C)
+            h = convseg.fused_segment(d, eps, True, True, h,
+                                      g2, b2, m2, v2, w2, c2)
+            return x + h
+
+        def branch_dense(x, *p):
+            g1, b1, w1, c1, g2, b2, w2, c2 = p
+            xd = x.reshape(N, H, W * C)
+            m1, v1 = bn_stats_dense(xd, C)
+            h = convseg.fused_segment_dense(W, d, eps, True, True, xd,
+                                            g1, b1, m1, v1, w1, c1)
+            m2, v2 = bn_stats_dense(h, C)
+            h = convseg.fused_segment_dense(W, d, eps, True, True, h,
+                                            g2, b2, m2, v2, w2, c2)
+            return (xd + h).reshape(N, H, W, C)
+
+        y_ref = np.asarray(branch_nhwc(x, *params), np.float32)
+        y_dns = np.asarray(branch_dense(x, *params), np.float32)
+        np.testing.assert_array_equal(y_dns, y_ref)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(fn(*a) * cot)
+
+        g_ref = jax.grad(loss(branch_nhwc), argnums=tuple(range(9)))(
+            x, *params)
+        g_dns = jax.grad(loss(branch_dense), argnums=tuple(range(9)))(
+            x, *params)
+        for i, (r, f) in enumerate(zip(g_ref, g_dns)):
+            r, f = np.asarray(r, np.float32), np.asarray(f, np.float32)
+            # atol floor: conv-bias cotangents are ~1e-5 sums of +-1 noise and
+            # XLA's reduction ORDER differs between the two upstream graphs
+            np.testing.assert_allclose(f, r, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"arg {i}")
