@@ -138,6 +138,34 @@ def main():
             extras["train_device_ms_per_step"] = round(dev_ms, 2)
             extras["train_device_patches_per_sec"] = round(bs / dev_ms * 1e3, 2)
 
+    # ---- secondary 512px row (BASELINE config #5 shape): recorded alongside
+    # the 256px headline so every BENCH_r*.json carries both patch sizes
+    if ps == 256 and mesh is None and not os.environ.get("BENCH_NO_512"):
+        ps2, bs2, steps2 = 512, 4, 6
+        model2 = ResUnetA(num_classes=num_classes, img_size=ps2,
+                          multitasking=True, dtype=dtype)
+        state2 = create_train_state(model2, jax.random.PRNGKey(0),
+                                    (1, ps2, ps2, 3), "adam", 1e-4)
+        step2 = make_train_step(loss_fns, weights, multitasking=True,
+                                preprocess=pipeline)
+        batch2 = {
+            "image_u8": jnp.asarray(
+                rng.integers(0, 256, (bs2, ps2, ps2, 3), dtype=np.uint8)),
+            "label_ids": jnp.asarray(
+                rng.integers(0, num_classes, (bs2, ps2, ps2)).astype(np.uint8)),
+            "aug": jnp.asarray(rng.integers(0, 5, bs2).astype(np.int32)),
+        }
+        for _ in range(2):
+            state2, row2 = step2(state2, batch2)
+        np.asarray(row2)
+        t0 = time.perf_counter()
+        for _ in range(steps2):
+            state2, row2 = step2(state2, batch2)
+        np.asarray(row2)
+        extras["train_512px_patches_per_sec"] = round(
+            bs2 * steps2 / (time.perf_counter() - t0), 2)
+        del state2, batch2
+
     if not os.environ.get("BENCH_NO_INFER") and mesh is None:
         from resuneta_tpu.infer import predict_patches, make_seg_ids_fn
 

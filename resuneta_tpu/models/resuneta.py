@@ -185,7 +185,10 @@ class ResBlockA(nn.Module):
         if train and fused_mode == "1":
             from ..ops.pallas import convseg
             N, H, Wd, C = x.shape
-            if C == self.features and all(
+            # ANY plannable branch justifies the dense view (branches without
+            # a VMEM tile plan — d=31 at the 512px lanes=16384 levels — fall
+            # back to NHWC XLA inside _dense_train, paying one relayout each)
+            if C == self.features and any(
                     convseg.pallas_available(H, Wd, C, self.features, d)
                     for d in self.dilation_rates):
                 return self._dense_train(x)
@@ -200,6 +203,7 @@ class ResBlockA(nn.Module):
         physical HBM bytes at C=32 — the profiled shallow-level layout tax,
         BENCH_NOTES.md) ever exists between segments."""
         from ..ops.fused_bn import bn_stats_dense
+        from ..ops.pallas import convseg
 
         N, H, Wd, C = x.shape
         xd = x.reshape(N, H, Wd * C)
@@ -214,6 +218,17 @@ class ResBlockA(nn.Module):
                             act=True)
             conv2 = Conv(self.features, (3, 3), kernel_dilation=d,
                          dtype=self.dtype)
+            if not convseg.pallas_available(H, Wd, C, self.features, d):
+                # no VMEM tile plan for this dilation (d=31 at lanes=16384):
+                # run this branch on NHWC XLA, sharing the block statistics —
+                # one relayout in/out of the dense view for this branch only
+                xn = xd.reshape(N, H, Wd, C)
+                raw1 = bn1(xn, True, stats=shared, return_raw=True)
+                b = _save(conv1(xn, bn_raw=raw1))
+                raw2 = bn2(b, True, return_raw=True)
+                b = _save(conv2(b, bn_raw=raw2))
+                out = out + b.reshape(N, H, Wd * C)
+                continue
             raw1 = bn1(xd, True, stats=shared, return_raw=True, features=C)
             b = _save(conv1(xd, bn_raw=raw1, dense_width=Wd))
             raw2 = bn2(b, True, stats=bn_stats_dense(b, C), return_raw=True,

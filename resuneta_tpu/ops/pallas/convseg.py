@@ -45,12 +45,34 @@ except Exception:  # pragma: no cover
 
 MAX_CHANNELS = 128
 # estimator budget: hardware showed actual scoped-vmem ~1.5x this estimate
-# (double-buffered output block + scheduler margins), so stay well under 16 MB
-_VMEM_BUDGET = int(7e6)
+# (double-buffered output block + scheduler margins), so stay well under 16 MB.
+# RESUNETA_CONVSEG_VMEM_BUDGET overrides (bytes) — tuning knob for plans that
+# sit just over the line (d=31 at lanes=16384 estimates 7.67 MB).
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("RESUNETA_CONVSEG_VMEM_BUDGET", int(7e6)))
 
 
 def _dup(d):
     return (d + 7) // 8 * 8
+
+
+def _win_pad(H, tile, d):
+    """(window rows, source pad) for a row tile.
+
+    pad == 0: window starts are clamped into the image and boundary programs
+    realign the window in VMEM with a circular sublane roll. 16-bit buffers
+    roll on the i32 sublane-pair view, and Mosaic's dynamic_rotate needs the
+    rolled sublane count to stay 8-aligned, so the window is rounded up to a
+    multiple of 16 rows (the extra rows are DMA'd but never read by taps;
+    wrapped rows are masked by the consumers' image-row masks).
+
+    pad > 0 (plane shorter than one window): fall back to a physically
+    zero-padded source copy — no realign, no roll, no alignment constraint."""
+    win = (tile + 2 * _dup(d) + 15) // 16 * 16
+    if win <= H:
+        return win, 0
+    return tile + 2 * _dup(d), max(_dup(d), 8)
 
 
 def _plan_tile(H, W, C, d):
@@ -58,7 +80,7 @@ def _plan_tile(H, W, C, d):
     lanes = W * C
     tile = 128
     while tile >= 8:
-        win = tile + 2 * _dup(d)
+        win, _ = _win_pad(H, tile, d)
         need = (2 * win * lanes * 2        # double-buffered bf16 input windows
                 + 3 * tile * lanes * 4    # f32 z-slice + shifted copy + acc
                 + tile * lanes * 2        # output block
@@ -178,12 +200,11 @@ def _pixel_roll_masked(arr, kj, C, W):
 
 
 def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
-                    *, H, W, C, tile, d, act, pad):
+                    *, H, W, C, tile, d, act, pad, win):
     i = pl.program_id(0)
     t = pl.program_id(1)
     lanes = W * C
     dup = _dup(d)
-    win = tile + 2 * dup
     # input rows [t*tile - dup, ...) of the image = [pad + t*tile - dup, ...)
     # of the padded array; pad, tile, dup are all sublane-aligned.
     # Double-buffered: program k waits on its own window (started by k-1 or,
@@ -242,7 +263,7 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
 
 def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
                 dx_ref, dw_ref, vec_ref, gbuf, sem,
-                *, H, W, C, tile, d, act, pad):
+                *, H, W, C, tile, d, act, pad, win):
     """One-pass backward for the fused segment: recomputes z tile-locally in
     VMEM (never re-materialized to HBM, unlike XLA remat which cannot fuse the
     recompute into conv ops) and emits dx, the 9 weight-gradient tap blocks,
@@ -260,7 +281,6 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     t = pl.program_id(1)
     lanes = W * C
     dup = _dup(d)
-    win = tile + 2 * dup
     T = pl.num_programs(1)
     NT = pl.num_programs(0) * T
     k = i * T + t
@@ -372,11 +392,10 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
                          "guard with pallas_available()")
     T = H // tile
     g = 128 // C
-    dup = _dup(d)
     # pad == 0: window starts are clamped into the image and boundary programs
     # realign in VMEM — the activation is never physically padded in HBM.
     # Fallback to a padded copy only when one window exceeds the plane.
-    pad = 0 if tile + 2 * dup <= H else max(dup, 8)
+    win, pad = _win_pad(H, tile, d)
 
     xf = xd if pad == 0 else jnp.pad(xd, ((0, 0), (pad, pad), (0, 0)))
     a_t = jnp.tile(a.astype(jnp.float32), Wd).reshape(1, lanes)
@@ -388,7 +407,7 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
         3, 3, 128, 128)
 
     kernel = functools.partial(_segment_kernel, H=H, W=Wd, C=C, tile=tile,
-                               d=d, act=act, pad=pad)
+                               d=d, act=act, pad=pad, win=win)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -398,7 +417,7 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H, lanes), xd.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * dup, lanes), xd.dtype),
+            pltpu.VMEM((2, win, lanes), xd.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -436,8 +455,7 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
     if tile is None:
         raise ValueError("no tile plan; guard with pallas_available()")
     T = H // tile
-    dup = _dup(d)
-    pad = 0 if tile + 2 * dup <= H else max(dup, 8)
+    win, pad = _win_pad(H, tile, d)
 
     gf = gd.astype(xd.dtype)
     if pad:
@@ -447,7 +465,7 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
         return jnp.tile(v.astype(jnp.float32), Wd).reshape(1, lanes)
 
     kernel = functools.partial(_bwd_kernel, H=H, W=Wd, C=C, tile=tile, d=d,
-                               act=act, pad=pad)
+                               act=act, pad=pad, win=win)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
     same = lambda i, t: (0, 0, 0, 0)
     dx, dw, vecs = pl.pallas_call(
@@ -472,7 +490,7 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
             jax.ShapeDtypeStruct((3, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * dup, lanes), xd.dtype),
+            pltpu.VMEM((2, win, lanes), xd.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

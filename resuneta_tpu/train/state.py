@@ -60,8 +60,17 @@ def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformat
 
 
 def create_train_state(model, rng, input_shape, optimizer="adam", learning_rate=1e-3):
-    """Initialize params/batch_stats and the optimizer."""
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    """Initialize params/batch_stats and the optimizer.
+
+    Init traces with the Pallas segment kernels disabled: variable shapes are
+    identical either way, and compiling the eval-mode segment kernels just to
+    initialize parameters costs minutes of Mosaic compile time at 512px+ (the
+    kernels still compile where they are actually used — the train/eval step)."""
+    from ..ops.pallas import convseg
+
+    with convseg.disabled():
+        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
+                               train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(optimizer, learning_rate)

@@ -185,6 +185,45 @@ class TestFusedSegmentVJP:
             np.float32)
         np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
 
+    def test_window_alignment_invariant(self):
+        """Every pad == 0 tile plan must carry a 16-row-aligned DMA window:
+        the boundary realign rolls 16-bit windows on the i32 sublane-pair view
+        and Mosaic's dynamic_rotate requires 8-aligned sublanes there. tile=8
+        plans (only reachable at the 512px shallow levels, lanes = 16384)
+        violated this before _win_pad rounded the window up — the 512px model
+        could not even init on TPU."""
+        for H in (32, 64, 128, 256, 512, 1024):
+            for W, C in ((512, 32), (256, 64), (128, 128), (256, 32),
+                         (128, 64), (64, 128), (64, 64), (16, 8)):
+                for d in (1, 3, 5, 7, 15, 31):
+                    tile = convseg._plan_tile(H, W, C, d)
+                    if tile is None:
+                        continue
+                    win, pad = convseg._win_pad(H, tile, d)
+                    assert pad > 0 or win % 16 == 0, (H, W, C, d, tile, win)
+                    assert win >= tile + 2 * convseg._dup(d) or pad > 0
+
+    def test_rounded_window_512px_geometry(self):
+        """lanes = 16384 (the 512px first level) plans tile=8 whose natural
+        window (40 rows) is NOT 16-aligned; the DMA window is rounded to 48
+        and the extra rows must not perturb the result."""
+        rng = np.random.default_rng(5)
+        N, H, W, C, d = 1, 64, 512, 32, 15
+        tile = convseg._plan_tile(H, W, C, d)
+        win, pad = convseg._win_pad(H, tile, d)
+        assert pad == 0 and win != tile + 2 * convseg._dup(d), \
+            "shape no longer exercises the rounded-window path"
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
+        b = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        ref = np.asarray(_reference(x, a, b, w, bias, d, True), np.float32)
+        got = np.asarray(convseg.bn_act_conv_pallas(
+            x, a, b, w, bias, dilation=d, act=True, interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
     def test_dense_view_matches_nhwc(self):
         rng = np.random.default_rng(7)
         N, H, W, C, d = 2, 256, 16, 8, 3
@@ -290,3 +329,83 @@ class TestDenseSegmentChain:
             # XLA's reduction ORDER differs between the two upstream graphs
             np.testing.assert_allclose(f, r, rtol=1e-4, atol=1e-4,
                                        err_msg=f"arg {i}")
+
+
+@pytest.mark.skipif(not convseg._PALLAS_OK, reason="pallas not importable")
+class TestMixedDenseBlock:
+    """ResBlockA's dense train path with a PARTIALLY plannable dilation set
+    (the 512px case: d=31 has no VMEM tile plan at lanes=16384, the rest do).
+    The unplannable branch must fall back to NHWC XLA inside the dense block,
+    sharing the block statistics, and match the all-NHWC generic path.
+
+    CPU cannot run the real kernels, so fused_segment{,_dense} are replaced by
+    a plain-jnp implementation of the same math — the test pins the module
+    WIRING (per-branch gating, dense reshapes, stats sharing, residual adds),
+    not kernel numerics (covered above)."""
+
+    def test_mixed_block_matches_generic(self, monkeypatch):
+        from resuneta_tpu.models import resuneta as M
+
+        def jnp_seg(dilation, eps, act, interpret, x, gamma, beta, mean, var,
+                    w, bias):
+            a = gamma * jax.lax.rsqrt(var + eps)
+            b = beta - mean * a
+            z = x.astype(jnp.float32) * a + b
+            if act:
+                z = jnp.maximum(z, 0)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                z.astype(x.dtype), w.astype(x.dtype), (1, 1), "SAME",
+                rhs_dilation=(dilation, dilation), dimension_numbers=dn)
+            return y + bias.astype(x.dtype)
+
+        def jnp_seg_dense(width, dilation, eps, act, interpret, xd, gamma,
+                          beta, mean, var, w, bias):
+            N, H, L = xd.shape
+            C = gamma.shape[0]
+            y = jnp_seg(dilation, eps, act, interpret,
+                        xd.reshape(N, H, width, C), gamma, beta, mean, var,
+                        w, bias)
+            return y.reshape(N, H, L)
+
+        monkeypatch.setattr(convseg, "fused_segment", jnp_seg)
+        monkeypatch.setattr(convseg, "fused_segment_dense", jnp_seg_dense)
+        monkeypatch.setenv("RESUNETA_FUSED_TRAIN_SEGMENT", "1")
+
+        rng = np.random.default_rng(3)
+        N, H, W, C = 1, 32, 32, 8
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        cot = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        block = M.ResBlockA(C, [1, 3, 31], dtype=jnp.float32)
+        variables = block.init(jax.random.PRNGKey(0), x, train=True)
+
+        def run(avail):
+            monkeypatch.setattr(convseg, "pallas_available", avail)
+
+            def loss(params, x):
+                y, _ = block.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return jnp.sum(y * cot), y
+
+            (l, y), g = jax.value_and_grad(loss, argnums=(0, 1),
+                                           has_aux=True)(
+                variables["params"], x)
+            return np.asarray(y), l, g
+
+        # mixed: d in {1, 3} plannable, d=31 not (the 512px situation)
+        y_mix, l_mix, g_mix = run(
+            lambda Hh, Ww, Cc, Co, d: d != 31)
+        # all-NHWC generic path
+        y_gen, l_gen, g_gen = run(
+            lambda Hh, Ww, Cc, Co, d: False)
+
+        np.testing.assert_allclose(y_mix, y_gen, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(l_mix), float(l_gen), rtol=5e-3,
+                                   atol=1e-3)
+        flat_m = jax.tree.leaves(g_mix)
+        flat_g = jax.tree.leaves(g_gen)
+        for a, b in zip(flat_m, flat_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
