@@ -141,7 +141,9 @@ def main():
     # ---- secondary 512px row (BASELINE config #5 shape): recorded alongside
     # the 256px headline so every BENCH_r*.json carries both patch sizes
     if ps == 256 and mesh is None and not os.environ.get("BENCH_NO_512"):
-        ps2, bs2, steps2 = 512, 4, 6
+        # bs=8 beats bs=4 (17.7 vs 14.8 patches/s) and remat loses at both
+        # (15.2/13.x) — the 512px step is compute/layout-bound, not memory-bound
+        ps2, bs2, steps2 = 512, 8, 6
         model2 = ResUnetA(num_classes=num_classes, img_size=ps2,
                           multitasking=True, dtype=dtype)
         state2 = create_train_state(model2, jax.random.PRNGKey(0),

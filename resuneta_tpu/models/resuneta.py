@@ -185,9 +185,10 @@ class ResBlockA(nn.Module):
         if train and fused_mode == "1":
             from ..ops.pallas import convseg
             N, H, Wd, C = x.shape
-            # ANY plannable branch justifies the dense view (branches without
-            # a VMEM tile plan — d=31 at the 512px lanes=16384 levels — fall
-            # back to NHWC XLA inside _dense_train, paying one relayout each)
+            # ANY plannable branch justifies the dense view (a branch without
+            # a VMEM tile plan falls back to NHWC XLA inside _dense_train,
+            # paying one relayout; with the single-buffered planner tier all
+            # model-family branches up to lanes=16384 now plan)
             if C == self.features and any(
                     convseg.pallas_available(H, Wd, C, self.features, d)
                     for d in self.dilation_rates):

@@ -44,10 +44,10 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 MAX_CHANNELS = 128
-# estimator budget: hardware showed actual scoped-vmem ~1.5x this estimate
-# (double-buffered output block + scheduler margins), so stay well under 16 MB.
-# RESUNETA_CONVSEG_VMEM_BUDGET overrides (bytes) — tuning knob for plans that
-# sit just over the line (d=31 at lanes=16384 estimates 7.67 MB).
+# estimator budget: hardware showed actual scoped-vmem ~2.3x this estimate
+# (Mosaic temporaries + auto-double-buffered io blocks), so stay well under
+# 16 MB. RESUNETA_CONVSEG_VMEM_BUDGET overrides (bytes) — a tuning knob for
+# experiments; plans just over this line get the single-buffered tier below.
 import os as _os
 
 _VMEM_BUDGET = int(_os.environ.get("RESUNETA_CONVSEG_VMEM_BUDGET", int(7e6)))
@@ -75,20 +75,39 @@ def _win_pad(H, tile, d):
     return tile + 2 * _dup(d), max(_dup(d), 8)
 
 
-def _plan_tile(H, W, C, d):
-    """Row-tile height; the DMA window + f32 working slices must fit VMEM."""
+# nbuf=1 tier: plans whose double-buffered estimate sits just over the budget
+# run with a SINGLE-buffered DMA window (the copy is exposed instead of
+# overlapped with compute). Hardware-calibrated: the only such geometry in the
+# model family is d=31 at lanes=16384 (est 7.67 MB), whose double-buffered
+# backward measures 16.41 MB scoped VMEM against the 16.00 MB hardware limit —
+# dropping one 2.62 MB window slot brings it under. The narrow ceiling keeps
+# genuinely oversized plans (e.g. d=15 at lanes=32768, est 10.6 MB) unplanned.
+_VMEM_BUDGET_SINGLE = int(7.7e6)
+
+
+def _plan(H, W, C, d):
+    """(row-tile height, window buffer count) or None; the DMA window + f32
+    working slices must fit VMEM. A double-buffered plan at ANY tile height is
+    preferred over the single-buffered tier (overlapped DMA beats tile size)."""
     lanes = W * C
-    tile = 128
-    while tile >= 8:
-        win, _ = _win_pad(H, tile, d)
-        need = (2 * win * lanes * 2        # double-buffered bf16 input windows
-                + 3 * tile * lanes * 4    # f32 z-slice + shifted copy + acc
-                + tile * lanes * 2        # output block
-                + 9 * 128 * 128 * 4)     # block-diagonal taps
-        if H % tile == 0 and need <= _VMEM_BUDGET:
-            return tile
-        tile //= 2
+    for nbuf in (2, 1):
+        budget = _VMEM_BUDGET if nbuf == 2 else _VMEM_BUDGET_SINGLE
+        tile = 128
+        while tile >= 8:
+            win, _ = _win_pad(H, tile, d)
+            need = (2 * win * lanes * 2    # double-buffered bf16 input windows
+                    + 3 * tile * lanes * 4  # f32 z-slice + shifted copy + acc
+                    + tile * lanes * 2     # output block
+                    + 9 * 128 * 128 * 4)   # block-diagonal taps
+            if H % tile == 0 and need <= budget:
+                return tile, nbuf
+            tile //= 2
     return None
+
+
+def _plan_tile(H, W, C, d):
+    p = _plan(H, W, C, d)
+    return p[0] if p else None
 
 
 # Scoped disable: Pallas calls are opaque to GSPMD, so mesh-sharded programs
@@ -200,31 +219,37 @@ def _pixel_roll_masked(arr, kj, C, W):
 
 
 def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
-                    *, H, W, C, tile, d, act, pad, win):
+                    *, H, W, C, tile, d, act, pad, win, nbuf):
     i = pl.program_id(0)
     t = pl.program_id(1)
     lanes = W * C
     dup = _dup(d)
     # input rows [t*tile - dup, ...) of the image = [pad + t*tile - dup, ...)
     # of the padded array; pad, tile, dup are all sublane-aligned.
-    # Double-buffered: program k waits on its own window (started by k-1 or,
-    # for k == 0, right here) and prefetches k+1's while computing.
+    # nbuf == 2 (double-buffered): program k waits on its own window (started
+    # by k-1 or, for k == 0, right here) and prefetches k+1's while computing.
+    # nbuf == 1 (VMEM-starved plans): each program copies its own window and
+    # waits — the DMA is exposed, but the plan fits the 16 MB scoped limit.
     T = pl.num_programs(1)
     NT = pl.num_programs(0) * T
     k = i * T + t
-    slot = jax.lax.rem(k, 2)
+    slot = jax.lax.rem(k, 2) if nbuf == 2 else 0
     src_rows = H if pad == 0 else H + 2 * pad
 
-    @pl.when(k == 0)
-    def _first():
+    if nbuf == 2:
+        @pl.when(k == 0)
+        def _first():
+            _start_window_copy(in_hbm, buf, sem, k, slot, T=T, tile=tile,
+                               dup=dup, win=win, pad=pad, rows=src_rows)
+
+        @pl.when(k + 1 < NT)
+        def _prefetch():
+            _start_window_copy(in_hbm, buf, sem, k + 1, jax.lax.rem(k + 1, 2),
+                               T=T, tile=tile, dup=dup, win=win, pad=pad,
+                               rows=src_rows)
+    else:
         _start_window_copy(in_hbm, buf, sem, k, slot, T=T, tile=tile,
                            dup=dup, win=win, pad=pad, rows=src_rows)
-
-    @pl.when(k + 1 < NT)
-    def _prefetch():
-        _start_window_copy(in_hbm, buf, sem, k + 1, jax.lax.rem(k + 1, 2),
-                           T=T, tile=tile, dup=dup, win=win, pad=pad,
-                           rows=src_rows)
 
     _wait_window_copy(in_hbm, buf, sem, slot, win=win)
     if pad == 0:
@@ -263,7 +288,7 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
 
 def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
                 dx_ref, dw_ref, vec_ref, gbuf, sem,
-                *, H, W, C, tile, d, act, pad, win):
+                *, H, W, C, tile, d, act, pad, win, nbuf):
     """One-pass backward for the fused segment: recomputes z tile-locally in
     VMEM (never re-materialized to HBM, unlike XLA remat which cannot fuse the
     recompute into conv ops) and emits dx, the 9 weight-gradient tap blocks,
@@ -284,19 +309,23 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     T = pl.num_programs(1)
     NT = pl.num_programs(0) * T
     k = i * T + t
-    slot = jax.lax.rem(k, 2)
+    slot = jax.lax.rem(k, 2) if nbuf == 2 else 0
     src_rows = H if pad == 0 else H + 2 * pad
 
-    @pl.when(k == 0)
-    def _first():
+    if nbuf == 2:
+        @pl.when(k == 0)
+        def _first():
+            _start_window_copy(g_hbm, gbuf, sem, k, slot, T=T, tile=tile,
+                               dup=dup, win=win, pad=pad, rows=src_rows)
+
+        @pl.when(k + 1 < NT)
+        def _prefetch():
+            _start_window_copy(g_hbm, gbuf, sem, k + 1, jax.lax.rem(k + 1, 2),
+                               T=T, tile=tile, dup=dup, win=win, pad=pad,
+                               rows=src_rows)
+    else:
         _start_window_copy(g_hbm, gbuf, sem, k, slot, T=T, tile=tile,
                            dup=dup, win=win, pad=pad, rows=src_rows)
-
-    @pl.when(k + 1 < NT)
-    def _prefetch():
-        _start_window_copy(g_hbm, gbuf, sem, k + 1, jax.lax.rem(k + 1, 2),
-                           T=T, tile=tile, dup=dup, win=win, pad=pad,
-                           rows=src_rows)
 
     @pl.when((i == 0) & (t == 0))
     def _init():
@@ -386,10 +415,11 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
     Wd = width
     assert Wd * C == lanes, (Wd, C, lanes)
     d = dilation
-    tile = _plan_tile(H, Wd, C, d)
-    if tile is None:
+    plan = _plan(H, Wd, C, d)
+    if plan is None:
         raise ValueError(f"no tile plan for ({H},{Wd},{C}) d={d}; "
                          "guard with pallas_available()")
+    tile, nbuf = plan
     T = H // tile
     g = 128 // C
     # pad == 0: window starts are clamped into the image and boundary programs
@@ -407,7 +437,7 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
         3, 3, 128, 128)
 
     kernel = functools.partial(_segment_kernel, H=H, W=Wd, C=C, tile=tile,
-                               d=d, act=act, pad=pad, win=win)
+                               d=d, act=act, pad=pad, win=win, nbuf=nbuf)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -417,8 +447,8 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H, lanes), xd.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, win, lanes), xd.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, win, lanes), xd.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
     )(xf, a_t, b_t, wblk, bias_t)
@@ -451,9 +481,10 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
     C = a.shape[0]
     Wd = width
     d = dilation
-    tile = _plan_tile(H, Wd, C, d)
-    if tile is None:
+    plan = _plan(H, Wd, C, d)
+    if plan is None:
         raise ValueError("no tile plan; guard with pallas_available()")
+    tile, nbuf = plan
     T = H // tile
     win, pad = _win_pad(H, tile, d)
 
@@ -465,7 +496,7 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
         return jnp.tile(v.astype(jnp.float32), Wd).reshape(1, lanes)
 
     kernel = functools.partial(_bwd_kernel, H=H, W=Wd, C=C, tile=tile, d=d,
-                               act=act, pad=pad, win=win)
+                               act=act, pad=pad, win=win, nbuf=nbuf)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
     same = lambda i, t: (0, 0, 0, 0)
     dx, dw, vecs = pl.pallas_call(
@@ -490,8 +521,8 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
             jax.ShapeDtypeStruct((3, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, win, lanes), xd.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, win, lanes), xd.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
     )(xd, gf, vec(a), vec(b), vec(mean), vec(invstd), wblk)

@@ -224,6 +224,76 @@ class TestFusedSegmentVJP:
             np.float32)
         np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
 
+    def test_single_buffer_tier_planner(self):
+        """d=31 at lanes=16384 (the 512px shallow levels) exceeds the
+        double-buffered VMEM budget by one window slot; the planner's second
+        tier runs it with a single-buffered DMA window (exposed copy). Every
+        other model-family geometry keeps the double-buffered plan, and the
+        genuinely oversized 1024px first level stays unplanned."""
+        assert convseg._plan(512, 512, 32, 31) == (8, 1)
+        assert convseg._plan(256, 256, 64, 31) == (8, 1)
+        assert convseg._plan(512, 512, 32, 15) == (8, 2)
+        assert convseg._plan(1024, 1024, 32, 31) is None
+        for H, W, C in ((256, 256, 32), (128, 128, 64), (64, 64, 128)):
+            for d in (1, 3, 15, 31):
+                p = convseg._plan(H, W, C, d)
+                assert p is not None and p[1] == 2, (H, W, C, d, p)
+
+    def test_single_buffer_window_geometry(self):
+        """Forward parity on a REAL nbuf=1 plan (d=31, lanes=16384): each
+        program copies and waits on its own window; numerics must be identical
+        to the double-buffered schedule."""
+        rng = np.random.default_rng(11)
+        N, H, W, C, d = 1, 128, 512, 32, 31
+        assert convseg._plan(H, W, C, d) == (8, 1), \
+            "shape no longer exercises the single-buffer tier"
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
+        b = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        ref = np.asarray(_reference(x, a, b, w, bias, d, True), np.float32)
+        got = np.asarray(convseg.bn_act_conv_pallas(
+            x, a, b, w, bias, dilation=d, act=True, interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+    def test_single_buffer_bwd_parity(self):
+        """Backward kernel on the nbuf=1 plan vs autodiff of the unfused
+        composition: dx and the folded weight-gradient tap blocks."""
+        rng = np.random.default_rng(12)
+        N, H, W, C, d = 1, 128, 512, 32, 31
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        aa = jnp.ones(C, jnp.float32)
+        bb = jnp.zeros(C, jnp.float32)
+        mean = jnp.zeros(C, jnp.float32)
+        inv = jnp.ones(C, jnp.float32)
+        gq = 128 // C
+        wblk = jnp.einsum("ab,ijcd->ijacbd", jnp.eye(gq, dtype=jnp.float32),
+                          w.astype(jnp.float32)).reshape(3, 3, 128, 128)
+        dx, dw, _ = convseg._segment_bwd_pallas(
+            x, g, aa, bb, mean, inv, wblk, dilation=d, act=True,
+            interpret=True)
+
+        def f(x, w):
+            z = jnp.maximum(x.astype(jnp.float32), 0).astype(jnp.bfloat16)
+            y = jax.lax.conv_general_dilated(
+                z, w.astype(jnp.bfloat16), (1, 1), "SAME",
+                rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y.astype(jnp.float32) * g)
+
+        gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx, np.float32),
+                                   np.asarray(gx, np.float32),
+                                   rtol=0.06, atol=0.06)
+        dwf = np.asarray(dw).reshape(3, 3, gq, C, gq, C)
+        dwc = sum(dwf[:, :, q, :, q, :] for q in range(gq))
+        np.testing.assert_allclose(dwc, np.asarray(gw, np.float32),
+                                   rtol=0.06, atol=0.3)
+
     def test_dense_view_matches_nhwc(self):
         rng = np.random.default_rng(7)
         N, H, W, C, d = 2, 256, 16, 8, 3
