@@ -182,6 +182,20 @@ def main():
         predict_patches(ids_fn, ipatches, batch_size=ibs)
         idt = time.perf_counter() - t0
         extras["infer_mpix_per_sec"] = round(n_inf * ps * ps / idt / 1e6, 2)
+        # device-time pixel rate: wall-clock Mpix/s swings with the day's
+        # tunnel bandwidth (BENCH_NOTES.md round-2 drift note); the profiler
+        # denominator is the reproducible one
+        if not os.environ.get("BENCH_NO_PROFILE"):
+            import tempfile
+            from resuneta_tpu.utils.xprof import capture_device_ms
+
+            with tempfile.TemporaryDirectory() as td:
+                dev_ms = capture_device_ms(
+                    lambda: predict_patches(ids_fn, ipatches, batch_size=ibs),
+                    1, td, lambda: None)  # predict_patches downloads=self-sync
+            if dev_ms:
+                extras["infer_device_mpix_per_sec"] = round(
+                    n_inf * ps * ps / dev_ms / 1e3, 2)
 
     result = {
         "metric": label,

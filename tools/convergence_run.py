@@ -53,7 +53,11 @@ def make_world(height, width, num_classes, seed):
             cx = rng.integers(0, width)
             rad = rng.integers(16, 72)
             ids[(yy - cy) ** 2 + (xx - cx) ** 2 < rad ** 2] = k
-    base = rng.integers(40, 216, (num_classes, 3)).astype(np.float32)
+    # class palette is GLOBAL (fixed seed), not per-scene: the learnable
+    # signal must generalize from the training scenes to the held-out one;
+    # per-scene variation comes from layout, illumination and pixel noise
+    base = np.random.default_rng(1234).integers(
+        40, 216, (num_classes, 3)).astype(np.float32)
     img = base[ids]
     # smooth illumination field (low-frequency sinusoids) + pixel noise
     illum = (20 * np.sin(2 * np.pi * yy / rng.integers(200, 400))
