@@ -82,7 +82,10 @@ def _win_pad(H, tile, d):
 # backward measures 16.41 MB scoped VMEM against the 16.00 MB hardware limit —
 # dropping one 2.62 MB window slot brings it under. The narrow ceiling keeps
 # genuinely oversized plans (e.g. d=15 at lanes=32768, est 10.6 MB) unplanned.
-_VMEM_BUDGET_SINGLE = int(7.7e6)
+# Derived from the effective budget so the RESUNETA_CONVSEG_VMEM_BUDGET knob
+# shifts BOTH tiers (a raised double-buffer budget must not silently re-enable
+# the known-failing 16.41 MB configuration through a stale single-tier line).
+_VMEM_BUDGET_SINGLE = _VMEM_BUDGET + int(0.7e6)
 
 
 def _plan(H, W, C, d):

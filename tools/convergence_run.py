@@ -66,16 +66,6 @@ def make_world(height, width, num_classes, seed):
     return np.clip(img, 0, 255).astype(np.uint8), ids
 
 
-def extract_patches(img, ids, ps, stride, rng=None, n=None):
-    starts = [(r, c) for r in range(0, img.shape[0] - ps + 1, stride)
-              for c in range(0, img.shape[1] - ps + 1, stride)]
-    if n is not None and len(starts) > n:
-        starts = [starts[i] for i in rng.choice(len(starts), n, replace=False)]
-    xs = np.stack([img[r:r + ps, c:c + ps] for r, c in starts])
-    ys = np.stack([ids[r:r + ps, c:c + ps] for r, c in starts])
-    return xs, ys
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -84,7 +74,8 @@ def main():
     from resuneta_tpu.train import create_train_state, make_train_step
     from resuneta_tpu.data import make_device_pipeline
     from resuneta_tpu.metrics import mean_iou
-    from resuneta_tpu.ops.normalize import normalize_rgb
+    from resuneta_tpu.ops.patches import extract_patches
+    from resuneta_tpu.infer import predict_patches, make_seg_ids_fn
 
     steps = int(os.environ.get("CONV_STEPS", 600))
     ps = int(os.environ.get("CONV_PS", 256))
@@ -105,6 +96,7 @@ def main():
     train_y = np.concatenate(train_y)
     val_img, val_ids = make_world(1024, 1024, nc, seed * 10 + 7)
     val_x, val_y = extract_patches(val_img, val_ids, ps, ps)
+    val_y = val_y.astype(np.int64)
     print(f"# train patches: {len(train_x)}, val patches: {len(val_x)}",
           file=sys.stderr)
 
@@ -139,14 +131,11 @@ def main():
     train_secs = time.perf_counter() - t_first
     pps = bs * (steps - 1) / train_secs if steps > 1 else float("nan")
 
-    # held-out eval, eval-mode BN (running statistics)
+    # held-out eval, eval-mode BN (running statistics), via the production
+    # inference engine (jitted, tail-batch padding, on-device argmax)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    preds = []
-    for i in range(0, len(val_x), bs):
-        x = normalize_rgb(jnp.asarray(val_x[i:i + bs], jnp.float32), 1)
-        out = model.apply(variables, x, train=False)
-        preds.append(np.argmax(np.asarray(out["seg"], np.float32), -1))
-    pred_ids = np.concatenate(preds)
+    ids_fn = make_seg_ids_fn(model, variables, multitask=True, norm_type=1)
+    pred_ids = predict_patches(ids_fn, val_x, batch_size=bs)
     miou, per_class = mean_iou(val_y.ravel(), pred_ids.ravel(),
                                labels=list(range(nc)))
     acc = float((pred_ids == val_y).mean())
