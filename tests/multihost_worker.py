@@ -16,8 +16,17 @@ import sys
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                               " --xla_force_host_platform_device_count=4")
+    # concurrency_optimized_scheduler=false: XLA:CPU's concurrent thunk
+    # executor runs INDEPENDENT collectives in nondeterministic order across
+    # device threads; on a many-collective program (this full multitask train
+    # step) two cliques can interleave their Gloo context creation across
+    # ranks and deadlock on the hardcoded 30 s kv-store timeout. A serialized
+    # schedule makes the collective order deterministic and identical on every
+    # rank. CPU-test-only — the real TPU path uses ICI collectives, not Gloo.
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+        + " --xla_cpu_enable_concurrency_optimized_scheduler=false")
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 
