@@ -1,0 +1,130 @@
+"""Dense-layout (lane-packed) glue ops for the inter-block graph.
+
+The ResBlock interiors already run on the dense (N, H, W*C) row-major view
+(models/resuneta.py + ops/pallas/convseg.py): at C < 128 the NHWC layout XLA
+picks puts C on the 128-wide lane dimension, so every elementwise / reduce /
+1x1-matmul pass runs at C/128 lane utilization and 128/C-fold physical HBM
+bytes. These helpers extend the dense region to the glue BETWEEN blocks —
+1x1 convolutions (as block-diagonal kron matmuls, the convseg trick), channel
+concat feeding a 1x1 conv (as a sum of matmuls — the concat vanishes), max
+pooling / nearest upsampling / stride-2 downsampling (as free row-major
+reshapes + elementwise) and BatchNorm application — so whole subgraphs
+(decoder tail -> combine -> PSP -> heads) never materialize an NHWC tensor.
+
+Everything here is plain jnp: XLA fuses these with neighbors; no Pallas needed
+(the only op that needs halos — the 3x3 dilated conv — stays in convseg).
+
+Reference parity: these compute exactly the reference graph's ops
+(ResUnet_a/model2.py:33-94) in a different layout.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def kron_block(kernel, cin, cout):
+    """(1,1,cin,cout) or (cin,cout) kernel -> (128, g*cout) block-diagonal
+    kron(I_g, W), g = 128//cin: one MXU matmul applies the 1x1 conv to g
+    consecutive pixels of a dense row at full lane utilization."""
+    w = kernel.reshape(cin, cout)
+    g = 128 // cin
+    if g == 1:
+        return w
+    eye = jnp.eye(g, dtype=w.dtype)
+    return jnp.einsum("ab,cd->acbd", eye, w).reshape(128, g * cout)
+
+
+def conv1x1(xd, kernel, bias, *, cin, cout, dtype):
+    """1x1 conv on the dense view: (N, H, W*cin) -> (N, H, W*cout).
+
+    cin must divide 128 (the model family's shallow channels: 8/16/32/64/128);
+    W*cin must be a multiple of 128."""
+    N, H, L = xd.shape
+    assert L % cin == 0 and 128 % cin == 0 and L % 128 == 0, (L, cin)
+    wblk = kron_block(kernel, cin, cout).astype(dtype)
+    g = 128 // cin
+    y = jax.lax.dot_general(
+        xd.astype(dtype).reshape(N * H * L // 128, 128), wblk,
+        dimension_numbers=(((1,), (0,)), ((), ())))
+    y = y.reshape(N, H, (L // cin) * cout)
+    if bias is not None:
+        Wd = L // cin
+        y = y + jnp.tile(bias.astype(dtype), Wd)
+    return y
+
+
+def concat_conv1x1(parts, kernel, bias, *, cout, dtype):
+    """1x1 conv over the channel-concat of dense views WITHOUT materializing
+    the concat: conv1x1(concat([x1..xk], ch), W) == sum_i conv1x1(xi, W_i)
+    where W_i is the matching input-channel slice of W.
+
+    parts: list of (xd_i, cin_i); kernel: (1, 1, sum cin_i, cout)."""
+    w = kernel.reshape(-1, cout)
+    off = 0
+    acc = None
+    for xd, cin in parts:
+        y = conv1x1(xd, w[off:off + cin], None, cin=cin, cout=cout,
+                    dtype=dtype)
+        acc = y if acc is None else acc + y
+        off += cin
+    assert off == w.shape[0], (off, w.shape)
+    if bias is not None:
+        Wd = parts[0][0].shape[2] // parts[0][1]
+        acc = acc + jnp.tile(bias.astype(dtype), Wd)
+    return acc
+
+
+def max_pool(xd, *, width, channels, k):
+    """k x k / stride-k max pool on the dense view: (N, H, W*C) ->
+    (N, H/k, (W/k)*C). Row-major reshapes are free; the max runs fully
+    lane-packed (vs select_and_scatter-backed NHWC pooling at C/128 lanes)."""
+    if k == 1:
+        return xd
+    N, H, L = xd.shape
+    x = xd.reshape(N, H // k, k, width // k, k, channels)
+    return jnp.max(x, axis=(2, 4)).reshape(N, H // k, (width // k) * channels)
+
+
+def upsample_nearest(xd, *, width, channels, k):
+    """Nearest-neighbor x k on the dense view: (N, Hp, Wp*C) ->
+    (N, Hp*k, Wp*k*C)."""
+    if k == 1:
+        return xd
+    N, Hp, L = xd.shape
+    x = xd.reshape(N, Hp, 1, width, 1, channels)
+    x = jnp.broadcast_to(x, (N, Hp, k, width, k, channels))
+    return x.reshape(N, Hp * k, width * k * channels)
+
+
+def downsample2(xd, *, width, channels):
+    """Stride-2 pixel subsampling (even rows/cols): (N, H, W*C) ->
+    (N, H/2, (W/2)*C) — the spatial part of the reference's stride-2 1x1
+    downsample convs (1x1 kernels see exactly the kept pixels)."""
+    N, H, L = xd.shape
+    x = xd[:, ::2].reshape(N, H // 2, width // 2, 2, channels)[:, :, :, 0]
+    return x.reshape(N, H // 2, (width // 2) * channels)
+
+
+def bn_apply(xd, *, channels, gamma, beta, mean, var, eps, relu=False):
+    """BatchNorm affine application (+ optional fused ReLU) on the dense view."""
+    invstd = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    a = gamma * invstd
+    b = beta - mean * a
+    Wd = xd.shape[2] // channels
+    y = xd * jnp.tile(a.astype(xd.dtype), Wd) \
+        + jnp.tile(b.astype(xd.dtype), Wd)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+def to_dense(x):
+    """(N, H, W, C) -> (N, H, W*C). A free reshape when x is already row-major;
+    one relayout copy otherwise (the boundary cost the dense region amortizes)."""
+    N, H, W, C = x.shape
+    return x.reshape(N, H, W * C)
+
+
+def to_nhwc(xd, *, width, channels):
+    N, H, L = xd.shape
+    return xd.reshape(N, H, width, channels)
