@@ -46,7 +46,14 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((C,), jnp.float32))
 
         if train:
-            mean, var = stats if stats is not None else bn_stats(x)
+            if stats is not None:
+                mean, var = stats
+            elif features is not None:
+                # x is the dense (N, H, W*C) lane-packed view
+                from ..ops.fused_bn import bn_stats_dense
+                mean, var = bn_stats_dense(x, C)
+            else:
+                mean, var = bn_stats(x)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
@@ -67,5 +74,9 @@ class BatchNorm(nn.Module):
             invstd = jax.lax.rsqrt(var + self.epsilon)
             return scale * invstd, bias - mean * scale * invstd
 
+        if features is not None:
+            from ..ops.dense import bn_apply
+            return bn_apply(x, channels=C, gamma=scale, beta=bias, mean=mean,
+                            var=var, eps=self.epsilon, relu=self.act)
         return batch_norm_act(x, scale, bias, mean, var,
                               eps=self.epsilon, relu=self.act)

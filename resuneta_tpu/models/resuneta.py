@@ -72,19 +72,45 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, prologue=None, bn_raw=None, epilogue=None,
-                 act: bool = True, dense_width: int = None):
+                 act: bool = True, dense_width: int = None,
+                 dense_parts=None):
         # dense_width set => x is the dense (N, H, W*C) view (ResBlockA's
-        # fast path); the segment must run through the dense fused kernel and
-        # the result stays dense
-        C = x.shape[-1] if dense_width is None else x.shape[-1] // dense_width
+        # fast path, the dense decoder tail); the op runs in the lane-packed
+        # layout and the result stays dense. dense_parts=[(xd, cin), ...] is a
+        # channel-concat input — the 1x1 conv runs as a sum of kron matmuls
+        # and the concat never materializes (ops/dense.py).
+        if dense_parts is not None:
+            C = sum(c for _, c in dense_parts)
+        elif dense_width is not None:
+            C = x.shape[-1] // dense_width
+        else:
+            C = x.shape[-1]
         kernel = self.param("kernel", _conv_init,
                             self.kernel_size + (C, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         d = self.kernel_dilation
 
+        if dense_parts is not None:
+            from ..ops import dense as dops
+            assert self.kernel_size == (1, 1) and self.strides == (1, 1)
+            return dops.concat_conv1x1(dense_parts, kernel, bias,
+                                       cout=self.features, dtype=self.dtype)
+
         if dense_width is not None:
+            if self.kernel_size == (1, 1):
+                from ..ops import dense as dops
+                assert self.strides == (1, 1)
+                return dops.conv1x1(x, kernel, bias, cin=C,
+                                    cout=self.features, dtype=self.dtype)
             from ..ops.pallas import convseg
+            if bn_raw is None:
+                # identity affine: the fused segment computes act?(x)->conv3x3
+                # (head convs in the dense tail; gamma=1, var=1-eps =>
+                # a = rsqrt(1) = 1 exactly at eps=1e-3)
+                ones = jnp.ones((C,), jnp.float32)
+                zeros = jnp.zeros((C,), jnp.float32)
+                bn_raw = (ones, zeros, zeros, ones - 1e-3)
             scale, offset, mean, var = bn_raw
             return convseg.fused_segment_dense(
                 dense_width, d, 1e-3, act, False, x, scale, offset, mean, var,
@@ -154,11 +180,19 @@ class ConvBN(nn.Module):
     act: bool = False  # fuse the caller's following ReLU into the BN apply
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dense_width: int = None,
+                 dense_parts=None):
         conv = Conv(self.features, self.kernel, kernel_dilation=1,
                     strides=self.strides, dtype=self.dtype)
         bn = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                        act=self.act)
+        if dense_width is not None or dense_parts is not None:
+            # lane-packed path (train-mode dense tail): 1x1 conv as kron
+            # matmul (concat-free when dense_parts), BN stats + apply dense
+            assert train, "dense ConvBN is a training-path optimization"
+            y = _save(conv(x, dense_width=dense_width,
+                           dense_parts=dense_parts))
+            return bn(y, train, features=self.features)
         if train:
             return bn(_save(conv(x)), train)
         # shape surrogate: the affine only needs the BN's (features,)-sized
@@ -299,13 +333,31 @@ class PSPPooling(nn.Module):
     act: bool = False  # fuse the caller's following ReLU into the final ConvBN
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dense_width: int = None):
         levels = [1, 2]
         if self.img_width >= 128:
             levels.append(4)
         if self.img_width >= 256:
             levels.append(8)
         quarter = self.features // 4
+        if dense_width is not None:
+            # lane-packed path: pool/upsample as free row-major reshapes +
+            # fully-packed max/broadcast, the final concat -> 1x1 ConvBN as a
+            # sum of kron matmuls (reference op order preserved:
+            # pool -> upsample -> ConvBN -> concat -> ConvBN, model2.py:41-79)
+            from ..ops import dense as dops
+            C = x.shape[-1] // dense_width
+            parts = []
+            for k in levels:
+                p = _save(dops.max_pool(x, width=dense_width, channels=C, k=k))
+                p = dops.upsample_nearest(p, width=dense_width // k,
+                                          channels=C, k=k)
+                p = ConvBN(quarter, dtype=self.dtype)(p, train,
+                                                      dense_width=dense_width)
+                parts.append((p, quarter))
+            parts.append((x, C))
+            return ConvBN(self.features, dtype=self.dtype, act=self.act)(
+                None, train, dense_parts=parts)
         pooled = []
         for k in levels:
             p = _upsample_nearest(_save(_max_pool(x, k)), k)
@@ -321,7 +373,15 @@ class Combine(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, dec, skip, train: bool = False):
+    def __call__(self, dec, skip, train: bool = False,
+                 dense_width: int = None, dense_channels=None):
+        if dense_width is not None:
+            # lane-packed path: dec/skip are dense views; the concat feeding
+            # the 1x1 conv becomes a sum of kron matmuls
+            c_dec, c_skip = dense_channels
+            return ConvBN(self.features, dtype=self.dtype)(
+                None, train,
+                dense_parts=[(nn.relu(dec), c_dec), (skip, c_skip)])
         x = jnp.concatenate([nn.relu(dec), skip], axis=-1)
         return ConvBN(self.features, dtype=self.dtype)(x, train)
 
@@ -387,6 +447,26 @@ class ResUnetA(nn.Module):
             x = Combine(f, dtype=dt)(x, skip, train)
             x = ResBlockA(f, dil, dtype=dt)(x, train)
 
+        import os
+        N, Hf, Wf, Cf = x.shape
+        # Dense tail (RESUNETA_DENSE_TAIL=1, DEFAULT OFF — measured net
+        # negative): everything from the final combine through PSP and the
+        # heads runs on the lane-packed (N, H, W*C) view. The targeted NHWC
+        # glue did shrink as predicted (-33 ms at 256px: conv/pool-grad/concat
+        # fusions), but XLA's layout assignment materializes the row-major
+        # reshapes around the kron 1x1 matmuls and upsample broadcasts
+        # (+38 ms of relayout-reshapes) and the six extra head segments cost
+        # +13 ms — 93.6 -> 77.7 patches/s net (BENCH_NOTES.md round 3).
+        # Kept env-gated and parity-tested; winning here needs layout-pinned
+        # (Pallas) 1x1 matmuls, not jnp reshuffles. Module/param names are
+        # pinned identical to the NHWC branch (explicit Conv_6..Conv_11), so
+        # the same checkpoint serves both modes.
+        if (train and Cf == 32 and (Wf * Cf) % 128 == 0
+                and Hf % 8 == 0 and Wf % 8 == 0
+                and os.environ.get("RESUNETA_DENSE_TAIL", "0") == "1"
+                and os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT", "1") == "1"):
+            return self._dense_tail(x, c1, train)
+
         x_comb = Combine(32, dtype=dt)(x, c1, train)
         x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(x_comb, train)
 
@@ -425,4 +505,63 @@ class ResUnetA(nn.Module):
             # Color head (from x_comb)
             c = _save(nn.Conv(3, (1, 1), dtype=dt, kernel_init=_conv_init)(x_comb))
             out["color"] = nn.sigmoid(c.astype(jnp.float32))
+        return out
+
+    def _dense_tail(self, x, c1, train):
+        """Training-path tail on the lane-packed dense view (called from the
+        compact __call__; same submodule order and pinned names as the NHWC
+        branch, so the parameter tree is identical in both modes)."""
+        from ..ops.pallas import convseg
+
+        dt = self.dtype
+        N, Hf, Wf, Cf = x.shape
+        xd = x.reshape(N, Hf, Wf * Cf)
+        c1d = c1.reshape(N, Hf, Wf * 32)
+
+        x_comb = Combine(32, dtype=dt)(xd, c1d, train, dense_width=Wf,
+                                       dense_channels=(Cf, 32))
+        x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(
+            x_comb, train, dense_width=Wf)
+
+        def head3(xd_in, act_in, name=None):
+            """3x3 conv-32 on the dense view; act_in fuses the preceding ReLU
+            into the segment kernel (identity BN affine)."""
+            conv = Conv(32, (3, 3), dtype=dt, name=name)
+            if convseg.pallas_available(Hf, Wf, 32, 32, 1):
+                return _save(conv(xd_in, act=act_in, dense_width=Wf))
+            xn = xd_in.reshape(N, Hf, Wf, 32)
+            if act_in:
+                xn = nn.relu(xn)
+            return _save(conv(xn)).reshape(N, Hf, Wf * 32)
+
+        def head1(feats, xd_in, act_in, name=None):
+            """(optional ReLU ->) 1x1 conv as a dense kron matmul; returns the
+            NHWC raw logits for the f32 output activation."""
+            conv = Conv(feats, (1, 1), dtype=dt, name=name)
+            y = jnp.maximum(xd_in, 0) if act_in else xd_in
+            return _save(conv(y, dense_width=Wf)).reshape(N, Hf, Wf, feats)
+
+        if not self.multitasking:
+            logits = head1(self.num_classes, x_psp, False, name="Conv_6")
+            return nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        # heads (reference op order; the inter-conv ReLUs ride the segments)
+        s = head3(x_psp, False, name="seg1")
+        s = head3(s, True, name="seg2")
+        s = head1(self.num_classes, s, True, name="seg3")
+        out_seg = nn.softmax(s.astype(jnp.float32), axis=-1)
+
+        b = head3(x_psp, False, name="Conv_6")
+        b = head1(self.num_classes, b, True, name="Conv_7")
+        out_bound = nn.sigmoid(b.astype(jnp.float32))
+
+        d = head3(x_comb, False, name="Conv_8")
+        d = head3(d, True, name="Conv_9")
+        d = head1(self.num_classes, d, True, name="Conv_10")
+        out_dist = nn.softmax(d.astype(jnp.float32), axis=-1)
+
+        out = {"seg": out_seg, "bound": out_bound, "dist": out_dist}
+        if self.color_head:
+            out["color"] = nn.sigmoid(
+                head1(3, x_comb, False, name="Conv_11").astype(jnp.float32))
         return out
