@@ -73,14 +73,15 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x, prologue=None, bn_raw=None, epilogue=None,
                  act: bool = True, dense_width: int = None,
-                 dense_parts=None):
+                 dense_parts=None, act_in: bool = False):
         # dense_width set => x is the dense (N, H, W*C) view (ResBlockA's
         # fast path, the dense decoder tail); the op runs in the lane-packed
-        # layout and the result stays dense. dense_parts=[(xd, cin), ...] is a
-        # channel-concat input — the 1x1 conv runs as a sum of kron matmuls
-        # and the concat never materializes (ops/dense.py).
+        # layout and the result stays dense. dense_parts=[(xd, cin[, act]), ..]
+        # is a channel-concat input — the 1x1 conv runs as a sum of kron
+        # matmuls and the concat never materializes (ops/dense.py); act=True
+        # fuses a ReLU on that part's input.
         if dense_parts is not None:
-            C = sum(c for _, c in dense_parts)
+            C = sum(p[1] for p in dense_parts)
         elif dense_width is not None:
             C = x.shape[-1] // dense_width
         else:
@@ -102,7 +103,8 @@ class Conv(nn.Module):
                 from ..ops import dense as dops
                 assert self.strides == (1, 1)
                 return dops.conv1x1(x, kernel, bias, cin=C,
-                                    cout=self.features, dtype=self.dtype)
+                                    cout=self.features, dtype=self.dtype,
+                                    act_in=act_in)
             from ..ops.pallas import convseg
             if bn_raw is None:
                 # identity affine: the fused segment computes act?(x)->conv3x3
@@ -349,11 +351,18 @@ class PSPPooling(nn.Module):
             C = x.shape[-1] // dense_width
             parts = []
             for k in levels:
+                # ConvBN BEFORE the upsample: nearest upsampling commutes with
+                # a 1x1 conv exactly, and BN batch statistics over the
+                # upsampled tensor equal those over the pooled one (every
+                # pixel is repeated k^2 times, so mean and E[x^2] are
+                # unchanged) — the reference order pool -> upsample -> ConvBN
+                # (model2.py:54-60) is reproduced bit-for-bit-ish at k^2-fold
+                # less conv/BN work and quarter-channel upsample traffic.
                 p = _save(dops.max_pool(x, width=dense_width, channels=C, k=k))
+                p = ConvBN(quarter, dtype=self.dtype)(
+                    p, train, dense_width=dense_width // k)
                 p = dops.upsample_nearest(p, width=dense_width // k,
-                                          channels=C, k=k)
-                p = ConvBN(quarter, dtype=self.dtype)(p, train,
-                                                      dense_width=dense_width)
+                                          channels=quarter, k=k)
                 parts.append((p, quarter))
             parts.append((x, C))
             return ConvBN(self.features, dtype=self.dtype, act=self.act)(
@@ -377,11 +386,12 @@ class Combine(nn.Module):
                  dense_width: int = None, dense_channels=None):
         if dense_width is not None:
             # lane-packed path: dec/skip are dense views; the concat feeding
-            # the 1x1 conv becomes a sum of kron matmuls
+            # the 1x1 conv becomes a sum of kron matmuls with the reference's
+            # relu(dec) fused into dec's matmul (never materialized)
             c_dec, c_skip = dense_channels
             return ConvBN(self.features, dtype=self.dtype)(
                 None, train,
-                dense_parts=[(nn.relu(dec), c_dec), (skip, c_skip)])
+                dense_parts=[(dec, c_dec, True), (skip, c_skip, False)])
         x = jnp.concatenate([nn.relu(dec), skip], axis=-1)
         return ConvBN(self.features, dtype=self.dtype)(x, train)
 
@@ -449,27 +459,31 @@ class ResUnetA(nn.Module):
 
         import os
         N, Hf, Wf, Cf = x.shape
-        # Dense tail (RESUNETA_DENSE_TAIL=1, DEFAULT OFF — measured net
-        # negative): everything from the final combine through PSP and the
-        # heads runs on the lane-packed (N, H, W*C) view. The targeted NHWC
-        # glue did shrink as predicted (-33 ms at 256px: conv/pool-grad/concat
-        # fusions), but XLA's layout assignment materializes the row-major
-        # reshapes around the kron 1x1 matmuls and upsample broadcasts
-        # (+38 ms of relayout-reshapes) and the six extra head segments cost
-        # +13 ms — 93.6 -> 77.7 patches/s net (BENCH_NOTES.md round 3).
-        # Kept env-gated and parity-tested; winning here needs layout-pinned
-        # (Pallas) 1x1 matmuls, not jnp reshuffles. Module/param names are
-        # pinned identical to the NHWC branch (explicit Conv_6..Conv_11), so
-        # the same checkpoint serves both modes.
+        # Dense tail: everything from the final combine through PSP (and, in
+        # mode "1", the heads too) runs on the lane-packed (N, H, W*C) view,
+        # with every 1x1 conv a layout-pinned Pallas kron matmul
+        # (ops/pallas/densemm.py). The first, jnp-only version of this path
+        # measured net-negative (XLA relayouted the dot outputs, +38 ms —
+        # BENCH_NOTES.md round 3); the Pallas matmuls pin the layouts.
+        # Mode "2" exits the dense view after PSP and runs the NHWC heads.
+        # Module/param names are pinned identical to the NHWC branch
+        # (explicit Conv_6..Conv_11), so the same checkpoint serves all modes.
+        tail_mode = os.environ.get("RESUNETA_DENSE_TAIL", "0")
         if (train and Cf == 32 and (Wf * Cf) % 128 == 0
                 and Hf % 8 == 0 and Wf % 8 == 0
-                and os.environ.get("RESUNETA_DENSE_TAIL", "0") == "1"
+                and tail_mode in ("1", "2")
                 and os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT", "1") == "1"):
-            return self._dense_tail(x, c1, train)
+            return self._dense_tail(x, c1, train, tail_mode)
 
         x_comb = Combine(32, dtype=dt)(x, c1, train)
         x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(x_comb, train)
+        return self._heads(x_comb, x_psp)
 
+    def _heads(self, x_comb, x_psp):
+        """The four NHWC task heads (model2.py:144-191). Submodule creation
+        ORDER here fixes the Flax auto-names (Conv_6..Conv_11 after the six
+        encoder convs) that the dense tail pins explicitly — keep in sync."""
+        dt = self.dtype
         if not self.multitasking:
             logits = _save(nn.Conv(self.num_classes, (1, 1), dtype=dt,
                                    kernel_init=_conv_init)(x_psp))
@@ -507,10 +521,12 @@ class ResUnetA(nn.Module):
             out["color"] = nn.sigmoid(c.astype(jnp.float32))
         return out
 
-    def _dense_tail(self, x, c1, train):
+    def _dense_tail(self, x, c1, train, mode="1"):
         """Training-path tail on the lane-packed dense view (called from the
         compact __call__; same submodule order and pinned names as the NHWC
-        branch, so the parameter tree is identical in both modes)."""
+        branch, so the parameter tree is identical in both modes). mode "2"
+        runs only combine+PSP dense and hands NHWC tensors to the standard
+        heads (A/B lever for the head-segment cost)."""
         from ..ops.pallas import convseg
 
         dt = self.dtype
@@ -522,6 +538,10 @@ class ResUnetA(nn.Module):
                                        dense_channels=(Cf, 32))
         x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(
             x_comb, train, dense_width=Wf)
+
+        if mode == "2":
+            return self._heads(x_comb.reshape(N, Hf, Wf, 32),
+                               x_psp.reshape(N, Hf, Wf, 32))
 
         def head3(xd_in, act_in, name=None):
             """3x3 conv-32 on the dense view; act_in fuses the preceding ReLU
@@ -535,11 +555,12 @@ class ResUnetA(nn.Module):
             return _save(conv(xn)).reshape(N, Hf, Wf * 32)
 
         def head1(feats, xd_in, act_in, name=None):
-            """(optional ReLU ->) 1x1 conv as a dense kron matmul; returns the
-            NHWC raw logits for the f32 output activation."""
+            """(optional fused ReLU ->) 1x1 conv as a layout-pinned dense kron
+            matmul; returns the NHWC raw logits for the f32 output
+            activation."""
             conv = Conv(feats, (1, 1), dtype=dt, name=name)
-            y = jnp.maximum(xd_in, 0) if act_in else xd_in
-            return _save(conv(y, dense_width=Wf)).reshape(N, Hf, Wf, feats)
+            return _save(conv(xd_in, dense_width=Wf,
+                              act_in=act_in)).reshape(N, Hf, Wf, feats)
 
         if not self.multitasking:
             logits = head1(self.num_classes, x_psp, False, name="Conv_6")

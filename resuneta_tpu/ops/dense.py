@@ -34,13 +34,26 @@ def kron_block(kernel, cin, cout):
     return jnp.einsum("ab,cd->acbd", eye, w).reshape(128, g * cout)
 
 
-def conv1x1(xd, kernel, bias, *, cin, cout, dtype):
-    """1x1 conv on the dense view: (N, H, W*cin) -> (N, H, W*cout).
+def conv1x1(xd, kernel, bias, *, cin, cout, dtype, act_in=False):
+    """1x1 conv on the dense view: (N, H, W*cin) -> (N, H, W*cout), with an
+    optional input ReLU fused in (act_in).
 
     cin must divide 128 (the model family's shallow channels: 8/16/32/64/128);
-    W*cin must be a multiple of 128."""
+    W*cin must be a multiple of 128. On TPU the op runs as a layout-pinned
+    Pallas kernel (ops/pallas/densemm.py) — expressed as a plain dot_general,
+    XLA's layout assignment places the (M, 128) dot outputs column-major and
+    physically transposes them back, the relayout tax that made the first
+    dense tail net-negative (BENCH_NOTES.md round 3)."""
     N, H, L = xd.shape
     assert L % cin == 0 and 128 % cin == 0 and L % 128 == 0, (L, cin)
+    W = L // cin
+    from .pallas import densemm
+    if densemm.available(H, W, (cin,), cout):
+        b = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+        return densemm.dense_mm((W, (cin,), cout, (bool(act_in),)), False,
+                                (xd,), (kernel.reshape(cin, cout),), b)
+    if act_in:
+        xd = jnp.maximum(xd, 0)
     wblk = kron_block(kernel, cin, cout).astype(dtype)
     g = 128 // cin
     y = jax.lax.dot_general(
@@ -58,18 +71,35 @@ def concat_conv1x1(parts, kernel, bias, *, cout, dtype):
     the concat: conv1x1(concat([x1..xk], ch), W) == sum_i conv1x1(xi, W_i)
     where W_i is the matching input-channel slice of W.
 
-    parts: list of (xd_i, cin_i); kernel: (1, 1, sum cin_i, cout)."""
+    parts: list of (xd_i, cin_i) or (xd_i, cin_i, act_i) — act_i=True fuses a
+    ReLU on that part's input (the reference Combine's relu(dec),
+    ResUnet_a/model2.py:81-87); kernel: (1, 1, sum cin_i, cout). On TPU the
+    whole sum runs as ONE layout-pinned Pallas kernel (ops/pallas/densemm.py)."""
+    parts = [p if len(p) == 3 else (p[0], p[1], False) for p in parts]
     w = kernel.reshape(-1, cout)
+    cins = tuple(c for _, c, _ in parts)
+    acts = tuple(bool(a) for _, _, a in parts)
+    Wd = parts[0][0].shape[2] // parts[0][1]
+    from .pallas import densemm
+    if densemm.available(parts[0][0].shape[1], Wd, cins, cout):
+        offs = [0]
+        for c in cins:
+            offs.append(offs[-1] + c)
+        assert offs[-1] == w.shape[0], (offs, w.shape)
+        b = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+        return densemm.dense_mm(
+            (Wd, cins, cout, acts), False,
+            tuple(xd for xd, _, _ in parts),
+            tuple(w[offs[i]:offs[i + 1]] for i in range(len(parts))), b)
     off = 0
     acc = None
-    for xd, cin in parts:
+    for xd, cin, act in parts:
         y = conv1x1(xd, w[off:off + cin], None, cin=cin, cout=cout,
-                    dtype=dtype)
+                    dtype=dtype, act_in=act)
         acc = y if acc is None else acc + y
         off += cin
     assert off == w.shape[0], (off, w.shape)
     if bias is not None:
-        Wd = parts[0][0].shape[2] // parts[0][1]
         acc = acc + jnp.tile(bias.astype(dtype), Wd)
     return acc
 
