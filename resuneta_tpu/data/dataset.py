@@ -135,11 +135,23 @@ def _resize_nearest(arr, out_h, out_w):
     return arr[ys][:, xs]
 
 
+def _load_any(path):
+    """Read .npy directly; decode anything else as an image (the reference's
+    DataGenerator uses cv2.imread, ResUnet_a/utils.py:49-51 — PIL gives the
+    same pixel array for PNG/JPEG without requiring cv2 at import time)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    from PIL import Image
+    return np.asarray(Image.open(path))
+
+
 class DirectoryPairDataset:
     """Directory-paired image/label loader — the DataGenerator_wqw equivalent
-    (ResUnet_a/utils.py:20-66): matching filenames under image_dir/label_dir,
-    resize to config (H, W) (ResUnet_a/utils.py:50-52: bilinear for images,
-    nearest for labels), optional mean subtraction, labels converted to one-hot."""
+    (ResUnet_a/utils.py:20-66): matching filenames under image_dir/label_dir
+    (.npy or decodable images), resize to config (H, W) (ResUnet_a/utils.py:50-52:
+    bilinear for images, nearest for labels), optional mean subtraction, labels
+    converted to one-hot. Multi-channel label images use channel 0
+    (ResUnet_a/utils.py:53)."""
 
     def __init__(self, image_dir, label_dir, num_classes, mean=None, workers=8,
                  target_size=None):
@@ -166,9 +178,10 @@ class DirectoryPairDataset:
 
     def get_batch(self, positions):
         imgs = list(self.pool.map(
-            np.load, [self.image_paths[i] for i in positions]))
+            _load_any, [self.image_paths[i] for i in positions]))
         lbls = list(self.pool.map(
-            np.load, [self.label_paths[i] for i in positions]))
+            _load_any, [self.label_paths[i] for i in positions]))
+        lbls = [lb[:, :, 0] if lb.ndim == 3 else lb for lb in lbls]
         if self.target_size is not None:
             h, w = self.target_size
             imgs = [_resize_bilinear(im, h, w) for im in imgs]
