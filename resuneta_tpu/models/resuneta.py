@@ -465,10 +465,22 @@ class ResUnetA(nn.Module):
         # (ops/pallas/densemm.py). The first, jnp-only version of this path
         # measured net-negative (XLA relayouted the dot outputs, +38 ms —
         # BENCH_NOTES.md round 3); the Pallas matmuls pin the layouts.
-        # Mode "2" exits the dense view after PSP and runs the NHWC heads.
-        # Module/param names are pinned identical to the NHWC branch
-        # (explicit Conv_6..Conv_11), so the same checkpoint serves all modes.
-        tail_mode = os.environ.get("RESUNETA_DENSE_TAIL", "0")
+        # Mode "2" exits the dense view after PSP and runs the NHWC heads —
+        # the measured winner and DEFAULT where the Pallas matmuls are
+        # available (93.6 -> 99.5 patches/s at 256px; mode "1"'s six extra
+        # head segments still cost more than they save, 86.6 — BENCH_NOTES.md
+        # round 3). "0" = generic NHWC path. Without the layout-pinned
+        # kernels (CPU, GSPMD mesh traces) the jnp kron fallback LOSES to
+        # NHWC (the +38 ms relayout tax), so the default gates on
+        # densemm.available; an explicit env setting still forces the mode
+        # (CPU parity tests). Module/param names are pinned identical to the
+        # NHWC branch (explicit Conv_6..Conv_11), so the same checkpoint
+        # serves all modes.
+        tail_mode = os.environ.get("RESUNETA_DENSE_TAIL")
+        if tail_mode is None:
+            from ..ops.pallas import densemm
+            tail_mode = "2" if densemm.available(Hf, Wf, (Cf, Cf), Cf) \
+                else "0"
         if (train and Cf == 32 and (Wf * Cf) % 128 == 0
                 and Hf % 8 == 0 and Wf % 8 == 0
                 and tail_mode in ("1", "2")

@@ -95,6 +95,12 @@ def available(H, W, cins, cout, *, interpret=False):
         return False
     if any((W * c) % 128 != 0 for c in cins) or (W * cout) % 128 != 0:
         return False
+    if (G * cout) % 128 != 0:
+        # the kernel's (Mg, G*cout) dot output must be lane-aligned for the
+        # final reshape to (tile, W*cout) — Mosaic rejects ragged-lane shape
+        # casts ("infer-vector-layout: unsupported shape cast"). cout in
+        # {8,16,32,64,128} passes; the narrow head logits (5/3/1) fall back.
+        return False
     return _plan_tile(H, W, cins, cout, 2) is not None
 
 
@@ -153,7 +159,9 @@ def _bwd_kernel(*refs, P, acts, Ks, Nout, tile, lanes_out, Mg, cd):
             preferred_element_type=jnp.float32)
         dx = dxg.reshape(tile, x.shape[-1])
         if acts[p]:
-            dx = jnp.where(x > 0, dx, 0.0)
+            # compare in f32: Mosaic rejects cmpf on packed bf16 vectors
+            # ("Target does not support this comparison" on v5e)
+            dx = jnp.where(x.astype(jnp.float32) > 0, dx, 0.0)
         dxs[p][0] = dx.astype(dxs[p].dtype)
 
 

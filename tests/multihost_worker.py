@@ -26,9 +26,13 @@ def main():
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
-        + " --xla_cpu_enable_concurrency_optimized_scheduler=false")
+        + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+        # virtual devices sharing few physical cores skew past XLA:CPU's
+        # default 40 s collective-rendezvous abort (see conftest.py)
+        + " --xla_cpu_collective_timeout_seconds=3600")
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
+    from resuneta_tpu.utils.cpucache import cpu_cache_dir
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cpu_cache_dir())
 
     import jax
     jax.config.update("jax_platforms", "cpu")

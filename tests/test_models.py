@@ -113,7 +113,8 @@ class TestDenseTail:
     _dense_tail; the dense Combine/PSP/1x1 paths are pure jnp and run as-is."""
 
     def _run(self, monkeypatch, dense):
-        monkeypatch.setenv("RESUNETA_DENSE_TAIL", "1" if dense else "0")
+        mode = dense if isinstance(dense, str) else ("1" if dense else "0")
+        monkeypatch.setenv("RESUNETA_DENSE_TAIL", mode)
         ps, nc = 64, 5
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((2, ps, ps, 3)), jnp.float32)
@@ -151,6 +152,22 @@ class TestDenseTail:
                                        rtol=5e-3, atol=2e-3)
         # BN running stats (incl. the dense-tail ConvBN sites) match
         for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_mode2_matches_generic_path(self, monkeypatch):
+        """Mode 2 (dense combine+PSP, NHWC heads — the measured default):
+        same outputs/loss/stats as the generic path."""
+        l2, o2, g2, s2 = self._run(monkeypatch, "2")
+        l0, o0, g0, s0 = self._run(monkeypatch, False)
+        for k in o0:
+            np.testing.assert_allclose(np.asarray(o2[k]), np.asarray(o0[k]),
+                                       rtol=2e-4, atol=2e-5, err_msg=k)
+        np.testing.assert_allclose(float(l2), float(l0), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=2e-3)
+        for a, b in zip(jax.tree.leaves(s2), jax.tree.leaves(s0)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 

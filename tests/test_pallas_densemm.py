@@ -127,4 +127,9 @@ class TestAvailability:
     def test_lane_alignment_gate(self):
         # W*cout not a multiple of 128 -> refuse (ps=64 head logits)
         assert not densemm.available(64, 64, (32,), 5, interpret=True)
-        assert densemm.available(256, 256, (32,), 5, interpret=True)
+        # G*cout not a multiple of 128 -> refuse (Mosaic rejects the ragged
+        # (Mg, 160) -> (tile, W*5) shape cast); cout=5 never lane-aligns
+        assert not densemm.available(256, 256, (32,), 5, interpret=True)
+        # power-of-two couts lane-align exactly
+        assert densemm.available(256, 256, (32,), 8, interpret=True)
+        assert densemm.available(256, 256, (32,), 1, interpret=True)
