@@ -101,6 +101,13 @@ class Conv(nn.Module):
         if dense_width is not None:
             if self.kernel_size == (1, 1):
                 from ..ops import dense as dops
+                if self.strides == (2, 2):
+                    # encoder downsample conv on the dense view — the even-row
+                    # selection is a free reshape, the even-column selection
+                    # folds into the matmul (ops/dense.downsample2_conv1x1)
+                    return dops.downsample2_conv1x1(
+                        x, kernel, bias, cin=C, cout=self.features,
+                        dtype=self.dtype)
                 assert self.strides == (1, 1)
                 return dops.conv1x1(x, kernel, bias, cin=C,
                                     cout=self.features, dtype=self.dtype,
@@ -214,9 +221,16 @@ class ResBlockA(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dense_width: int = None):
         import os
         fused_mode = os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT", "1")
+
+        if dense_width is not None:
+            # caller keeps the trunk on the dense view (ResUnetA dense trunk):
+            # x is (N, H, W*C) in, (N, H, W*C) out — no boundary relayouts at
+            # all; unplannable branches still fall back per-branch inside
+            assert train, "dense ResBlockA is a training-path optimization"
+            return self._dense_train(x, dense_width)
 
         if train and fused_mode == "1":
             from ..ops.pallas import convseg
@@ -228,22 +242,25 @@ class ResBlockA(nn.Module):
             if C == self.features and any(
                     convseg.pallas_available(H, Wd, C, self.features, d)
                     for d in self.dilation_rates):
-                return self._dense_train(x)
+                return self._dense_train(x.reshape(N, H, Wd * C),
+                                         Wd).reshape(N, H, Wd, C)
 
         return self._generic(x, train, fused_mode)
 
-    def _dense_train(self, x):
-        """Whole-block dense fast path: ONE (N,H,W,C) -> (N,H,W*C) relayout in,
-        one out. Every segment runs the dense fused kernel, the residual adds
-        and BN statistics run on fully lane-packed views, and none of the
-        C < 128 lane-padded intermediate layouts (25% lane utilization and 4x
-        physical HBM bytes at C=32 — the profiled shallow-level layout tax,
-        BENCH_NOTES.md) ever exists between segments."""
+    def _dense_train(self, xd, Wd):
+        """Whole-block dense fast path on the (N, H, W*C) view. Every segment
+        runs the dense fused kernel, the residual adds and BN statistics run
+        on fully lane-packed views, and none of the C < 128 lane-padded
+        intermediate layouts (25% lane utilization and 4x physical HBM bytes
+        at C=32 — the profiled shallow-level layout tax, BENCH_NOTES.md) ever
+        exists between segments. Under the dense trunk the view flows in and
+        out without any boundary relayout; the NHWC auto-path pays one
+        relayout in, one out."""
         from ..ops.fused_bn import bn_stats_dense
         from ..ops.pallas import convseg
 
-        N, H, Wd, C = x.shape
-        xd = x.reshape(N, H, Wd * C)
+        N, H, L = xd.shape
+        C = L // Wd
         shared = bn_stats_dense(xd, C)
         out = xd
         for d in self.dilation_rates:
@@ -272,7 +289,7 @@ class ResBlockA(nn.Module):
                        features=C)
             b = _save(conv2(b, bn_raw=raw2, dense_width=Wd))
             out = out + b
-        return out.reshape(N, H, Wd, C)
+        return out
 
     def _generic(self, x, train, fused_mode):
         shared = bn_stats(x) if train else None
@@ -402,8 +419,22 @@ class UpSampleConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        return ConvBN(self.features, dtype=self.dtype)(_upsample_nearest(x, 2), train)
+    def __call__(self, x, train: bool = False, dense_width: int = None):
+        conv_bn = ConvBN(self.features, dtype=self.dtype)
+        if dense_width is not None:
+            # lane-packed path, with the ConvBN applied BEFORE the upsample:
+            # nearest upsampling commutes exactly with a 1x1 conv, and BN
+            # batch statistics over the upsampled tensor equal those over the
+            # small one (every pixel repeated 4x leaves mean and E[x^2]
+            # unchanged) — the reference order up -> conv -> BN
+            # (model2.py:89-94) reproduced at 4x less matmul/BN work and
+            # features/channels-fold less upsample traffic (same commutation
+            # the dense PSPPooling uses).
+            from ..ops import dense as dops
+            y = conv_bn(x, train, dense_width=dense_width)
+            return dops.upsample_nearest(y, width=dense_width,
+                                         channels=self.features, k=2)
+        return conv_bn(_upsample_nearest(x, 2), train)
 
 
 class ResUnetA(nn.Module):
@@ -420,44 +451,120 @@ class ResUnetA(nn.Module):
     color_head: bool = True
     dtype: Dtype = jnp.float32
 
+    def _use_dense_trunk(self, train, H, W):
+        """Gate for the whole-trunk dense path (see __call__). Training-only;
+        geometry must keep every shallow level lane-aligned (W*C multiples of
+        128 and densemm/convseg row tiles need H % 8 at W/4, hence W % 32);
+        RESUNETA_DENSE_TRUNK=0 forces off (A/B lever), =1 forces on (CPU
+        parity tests exercise the jnp fallbacks), default requires the
+        layout-pinned Pallas matmuls (TPU) — the jnp fallback LOSES to NHWC
+        (the relayout tax, BENCH_NOTES.md round 3)."""
+        import os
+        if not train:
+            return False
+        mode = os.environ.get("RESUNETA_DENSE_TRUNK")
+        if mode == "0":
+            return False
+        if H != W or W % 32 or W < 64:
+            return False
+        if os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT", "1") != "1":
+            return False
+        if mode == "1":
+            return True
+        from ..ops.pallas import densemm
+        return densemm.available(H, W, (32, 32), 32)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+        from ..ops import dense as dops
         dt = self.dtype
         x = x.astype(dt)
+        N, H0, W0 = x.shape[0], x.shape[1], x.shape[2]
 
-        c1 = x = _save(nn.Conv(32, (1, 1), dtype=dt, kernel_init=_conv_init)(x))
-        c2 = x = ResBlockA(32, [1, 3, 15, 31], dtype=dt)(x, train)
-        x = _save(nn.Conv(64, (1, 1), strides=(2, 2), dtype=dt,
-                          kernel_init=_conv_init)(x))
-        c3 = x = ResBlockA(64, [1, 3, 15, 31], dtype=dt)(x, train)
-        x = _save(nn.Conv(128, (1, 1), strides=(2, 2), dtype=dt,
-                          kernel_init=_conv_init)(x))
-        c4 = x = ResBlockA(128, [1, 3, 15], dtype=dt)(x, train)
-        x = _save(nn.Conv(256, (1, 1), strides=(2, 2), dtype=dt,
-                          kernel_init=_conv_init)(x))
+        # Dense trunk (training): the C <= 128 levels — where NHWC lane
+        # padding costs 128/C-fold physical HBM bytes — run END-TO-END on the
+        # lane-packed (N, H, W*C) view: ResBlock interiors (already dense),
+        # the stride-2 downsample convs, the decoder UpSampleConv/Combine
+        # glue, and the tail. The deep levels (C >= 256 at H <= W/8) stay
+        # NHWC, which is already lane-full there. This leaves exactly ONE
+        # expensive boundary (stem output -> dense at full resolution) plus a
+        # cheap pair at 32x32xC=256, vs a relayout in/out at every shallow
+        # block previously (~20% of the 512px device step, BENCH_NOTES.md).
+        dense = self._use_dense_trunk(train, H0, W0)
+
+        c1 = x = _save(Conv(32, (1, 1), dtype=dt)(x))
+        Wd = None
+        if dense:
+            x = dops.to_dense(x)  # the one full-res boundary relayout
+            c1 = x
+            Wd = W0
+        c2 = x = ResBlockA(32, [1, 3, 15, 31], dtype=dt)(x, train,
+                                                         dense_width=Wd)
+        x = _save(Conv(64, (1, 1), strides=(2, 2), dtype=dt)(
+            x, dense_width=Wd))
+        if dense:
+            Wd //= 2
+        c3 = x = ResBlockA(64, [1, 3, 15, 31], dtype=dt)(x, train,
+                                                         dense_width=Wd)
+        x = _save(Conv(128, (1, 1), strides=(2, 2), dtype=dt)(
+            x, dense_width=Wd))
+        if dense:
+            Wd //= 2
+        c4 = x = ResBlockA(128, [1, 3, 15], dtype=dt)(x, train,
+                                                      dense_width=Wd)
+        x = _save(Conv(256, (1, 1), strides=(2, 2), dtype=dt)(
+            x, dense_width=Wd))
+        if dense:
+            # exit the dense domain: C=256 fills the 128 lanes twice over in
+            # NHWC, and the tensor is 64x smaller than at the stem
+            Wd //= 2
+            x = dops.to_nhwc(x, width=Wd, channels=256)
         c5 = x = ResBlockA(256, [1, 3, 15], dtype=dt)(x, train)
-        x = _save(nn.Conv(512, (1, 1), strides=(2, 2), dtype=dt,
-                          kernel_init=_conv_init)(x))
+        x = _save(Conv(512, (1, 1), strides=(2, 2), dtype=dt)(x))
         c6 = x = ResBlockA(512, [1], dtype=dt)(x, train)
-        x = _save(nn.Conv(1024, (1, 1), strides=(2, 2), dtype=dt,
-                          kernel_init=_conv_init)(x))
+        x = _save(Conv(1024, (1, 1), strides=(2, 2), dtype=dt)(x))
         x = ResBlockA(1024, [1], dtype=dt)(x, train)
 
         x = PSPPooling(1024, self.img_size, dtype=dt, act=True)(x, train)
 
-        # decoder: (up-filters, combine/RB filters, dilations, skip)
+        # deep decoder (NHWC): (up-filters, combine/RB filters, dilations, skip)
         for up_f, f, dil, skip in (
             (256, 512, [1], c6),
             (128, 256, [1, 3, 15], c5),
-            (64, 128, [1, 3, 15], c4),
-            (32, 64, [1, 3, 15, 31], c3),
-            (16, 32, [1, 3, 15, 31], c2),
         ):
             x = UpSampleConv(up_f, dtype=dt)(x, train)
             x = Combine(f, dtype=dt)(x, skip, train)
             x = ResBlockA(f, dil, dtype=dt)(x, train)
 
-        import os
+        # shallow decoder: re-enter the dense domain at 256 channels
+        shallow = ((64, 128, [1, 3, 15], c4),
+                   (32, 64, [1, 3, 15, 31], c3),
+                   (16, 32, [1, 3, 15, 31], c2))
+        if dense:
+            Wq = W0 // 8
+            x = dops.to_dense(x)
+            for up_f, f, dil, skip in shallow:
+                x = UpSampleConv(up_f, dtype=dt)(x, train, dense_width=Wq)
+                Wq *= 2
+                x = Combine(f, dtype=dt)(x, skip, train, dense_width=Wq,
+                                         dense_channels=(up_f, f))
+                x = ResBlockA(f, dil, dtype=dt)(x, train, dense_width=Wq)
+        else:
+            for up_f, f, dil, skip in shallow:
+                x = UpSampleConv(up_f, dtype=dt)(x, train)
+                x = Combine(f, dtype=dt)(x, skip, train)
+                x = ResBlockA(f, dil, dtype=dt)(x, train)
+
+        if dense:
+            # already lane-packed — straight into the dense tail (mode "0"
+            # A/B lever drops back to NHWC)
+            tail_mode = os.environ.get("RESUNETA_DENSE_TAIL", "2")
+            if tail_mode in ("1", "2"):
+                return self._dense_tail(x, c1, train, tail_mode, W0)
+            x = x.reshape(N, H0, W0, 32)
+            c1 = c1.reshape(N, H0, W0, 32)
+
         N, Hf, Wf, Cf = x.shape
         # Dense tail: everything from the final combine through PSP (and, in
         # mode "1", the heads too) runs on the lane-packed (N, H, W*C) view,
@@ -485,7 +592,9 @@ class ResUnetA(nn.Module):
                 and Hf % 8 == 0 and Wf % 8 == 0
                 and tail_mode in ("1", "2")
                 and os.environ.get("RESUNETA_FUSED_TRAIN_SEGMENT", "1") == "1"):
-            return self._dense_tail(x, c1, train, tail_mode)
+            return self._dense_tail(x.reshape(N, Hf, Wf * Cf),
+                                    c1.reshape(N, Hf, Wf * 32), train,
+                                    tail_mode, Wf)
 
         x_comb = Combine(32, dtype=dt)(x, c1, train)
         x_psp = PSPPooling(32, self.img_size, dtype=dt, act=True)(x_comb, train)
@@ -533,18 +642,18 @@ class ResUnetA(nn.Module):
             out["color"] = nn.sigmoid(c.astype(jnp.float32))
         return out
 
-    def _dense_tail(self, x, c1, train, mode="1"):
+    def _dense_tail(self, xd, c1d, train, mode, Wf):
         """Training-path tail on the lane-packed dense view (called from the
         compact __call__; same submodule order and pinned names as the NHWC
         branch, so the parameter tree is identical in both modes). mode "2"
         runs only combine+PSP dense and hands NHWC tensors to the standard
-        heads (A/B lever for the head-segment cost)."""
+        heads (A/B lever for the head-segment cost). Inputs are dense
+        (N, H, W*C) views — under the dense trunk they arrive that way."""
         from ..ops.pallas import convseg
 
         dt = self.dtype
-        N, Hf, Wf, Cf = x.shape
-        xd = x.reshape(N, Hf, Wf * Cf)
-        c1d = c1.reshape(N, Hf, Wf * 32)
+        N, Hf, L = xd.shape
+        Cf = L // Wf
 
         x_comb = Combine(32, dtype=dt)(xd, c1d, train, dense_width=Wf,
                                        dense_channels=(Cf, 32))

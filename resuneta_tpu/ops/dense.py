@@ -38,14 +38,16 @@ def conv1x1(xd, kernel, bias, *, cin, cout, dtype, act_in=False):
     """1x1 conv on the dense view: (N, H, W*cin) -> (N, H, W*cout), with an
     optional input ReLU fused in (act_in).
 
-    cin must divide 128 (the model family's shallow channels: 8/16/32/64/128);
-    W*cin must be a multiple of 128. On TPU the op runs as a layout-pinned
-    Pallas kernel (ops/pallas/densemm.py) — expressed as a plain dot_general,
-    XLA's layout assignment places the (M, 128) dot outputs column-major and
-    physically transposes them back, the relayout tax that made the first
-    dense tail net-negative (BENCH_NOTES.md round 3)."""
+    cin must divide 128 (the model family's shallow channels: 8/16/32/64/128)
+    or be a multiple of 128 (deep levels / pixel-pair downsampling, which need
+    no kron grouping); W*cin must be a multiple of 128. On TPU the op runs as
+    a layout-pinned Pallas kernel (ops/pallas/densemm.py) — expressed as a
+    plain dot_general, XLA's layout assignment places the (M, 128) dot outputs
+    column-major and physically transposes them back, the relayout tax that
+    made the first dense tail net-negative (BENCH_NOTES.md round 3)."""
     N, H, L = xd.shape
-    assert L % cin == 0 and 128 % cin == 0 and L % 128 == 0, (L, cin)
+    assert L % cin == 0 and L % 128 == 0 and \
+        (128 % cin == 0 or cin % 128 == 0), (L, cin)
     W = L // cin
     from .pallas import densemm
     if densemm.available(H, W, (cin,), cout):
@@ -54,6 +56,16 @@ def conv1x1(xd, kernel, bias, *, cin, cout, dtype, act_in=False):
                                 (xd,), (kernel.reshape(cin, cout),), b)
     if act_in:
         xd = jnp.maximum(xd, 0)
+    if cin % 128 == 0:
+        # contraction width already lane-aligned: plain flat matmul, no kron
+        y = jax.lax.dot_general(
+            xd.astype(dtype).reshape(N * H * W, cin),
+            kernel.reshape(cin, cout).astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())))
+        y = y.reshape(N, H, W * cout)
+        if bias is not None:
+            y = y + jnp.tile(bias.astype(dtype), W)
+        return y
     wblk = kron_block(kernel, cin, cout).astype(dtype)
     g = 128 // cin
     y = jax.lax.dot_general(
@@ -64,6 +76,39 @@ def conv1x1(xd, kernel, bias, *, cin, cout, dtype, act_in=False):
         Wd = L // cin
         y = y + jnp.tile(bias.astype(dtype), Wd)
     return y
+
+
+def downsample2_ok(H, W, cin, cout, force=False):
+    """Geometry/plan gate for downsample2_conv1x1 (force skips the TPU plan
+    check — CPU parity tests run the jnp fallback)."""
+    if H % 2 or W % 2 or (W * cin) % 128 or ((W // 2) * cout) % 128:
+        return False
+    if force:
+        return True
+    from .pallas import densemm
+    return densemm.available(H // 2, W, (2 * cin,), cout)
+
+
+def downsample2_conv1x1(xd, kernel, bias, *, cin, cout, dtype):
+    """Stride-2 1x1 convolution on the dense view: (N, H, W*cin) ->
+    (N, H/2, (W/2)*cout) — the reference's encoder downsample convs
+    (ResUnet_a/model2.py:103-111) without ever leaving the lane-packed layout.
+
+    The even-ROW selection folds into a free row-major reshape
+    (N, H, W*cin) -> (N, H/2, 2*W*cin): each double-row is [row 2r ++ row
+    2r+1], and pixel pairs (2j, 2j+1) with j < W/2 land entirely in row 2r.
+    The even-COLUMN selection folds into the matmul: contracting pixel PAIRS
+    (cin' = 2*cin) against [[W],[0]] applies W to the even pixel and drops the
+    odd one. Outputs for j >= W/2 (= row 2r+1) are computed and sliced off —
+    2x redundant FLOPs on a tiny 1x1 matmul, the price of zero gathers and a
+    fully lane-packed, layout-pinned op chain."""
+    N, H, L = xd.shape
+    W = L // cin
+    x2 = xd.reshape(N, H // 2, 2 * L)
+    w = kernel.reshape(cin, cout)
+    w2 = jnp.concatenate([w, jnp.zeros_like(w)], axis=0)
+    y = conv1x1(x2, w2, bias, cin=2 * cin, cout=cout, dtype=dtype)
+    return y[:, :, :(W // 2) * cout]
 
 
 def concat_conv1x1(parts, kernel, bias, *, cout, dtype):

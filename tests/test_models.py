@@ -223,3 +223,82 @@ class TestDenseTail:
         np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
         assert all(np.all(np.isfinite(np.asarray(g)))
                    for g in jax.tree.leaves(g1))
+
+
+class TestDenseTrunk:
+    """The whole-trunk dense training path (RESUNETA_DENSE_TRUNK: stem ->
+    dense -> encoder ResBlocks + stride-2 downsample convs -> NHWC deep
+    levels -> dense shallow decoder (conv-before-upsample UpSampleConv,
+    concat-free Combine) -> dense tail) must produce the same outputs, loss,
+    gradients, and parameter tree as the generic NHWC path. On CPU the 3x3
+    segments take their NHWC fallbacks; the downsample/upsample/combine/1x1
+    glue is pure jnp and runs as-is — exactly the math the TPU kernels pin."""
+
+    def _run(self, monkeypatch, trunk, ps=64, multitasking=True):
+        monkeypatch.setenv("RESUNETA_DENSE_TRUNK", "1" if trunk else "0")
+        if not trunk:
+            monkeypatch.setenv("RESUNETA_DENSE_TAIL", "0")
+        nc = 5
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, ps, ps, 3)), jnp.float32)
+        model = ResUnetA(num_classes=nc, img_size=ps,
+                         multitasking=multitasking, dtype=jnp.float32)
+        from resuneta_tpu.ops.pallas import convseg
+        with convseg.disabled():
+            variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            if not isinstance(out, dict):
+                out = {"seg": out}
+            l = sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out.values())
+            return l, (out, upd["batch_stats"])
+
+        (l, (out, stats)), g = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"])
+        return l, out, g, stats, variables["params"]
+
+    @staticmethod
+    def _check_grads(g1, g0):
+        """Global rel-l2 gradient gate, calibrated in float64: the trunk's
+        reordered f32 BN-stat summations perturb activations at f32-eps scale,
+        and this network amplifies a 1e-7 input perturbation into a 5.4e-5
+        rel-l2 gradient change (measured); the f64 trunk-vs-generic gradient
+        diff is 2.5e-4 rel-l2 — i.e. stacked rounding, not math (a real
+        formula/VJP break measures O(1e-1)). Elementwise comparison is the
+        wrong tool here: pre-BN conv biases have mathematically ~zero
+        gradients, so leaf-relative diffs are noise-on-zero even between two
+        runs of the SAME path."""
+        du = np.concatenate([(np.asarray(a) - np.asarray(b)).ravel()
+                             for a, b in zip(jax.tree.leaves(g1),
+                                             jax.tree.leaves(g0))])
+        nrm = np.concatenate([np.asarray(b).ravel()
+                              for b in jax.tree.leaves(g0)])
+        rel = np.linalg.norm(du) / np.linalg.norm(nrm)
+        assert rel < 5e-3, rel
+
+    def test_matches_generic_path(self, monkeypatch):
+        l1, o1, g1, s1, p1 = self._run(monkeypatch, True)
+        l0, o0, g0, s0, p0 = self._run(monkeypatch, False)
+        # identical parameter trees (the dense trunk pins the same Flax names)
+        assert jax.tree_util.tree_structure(p1) == \
+            jax.tree_util.tree_structure(p0)
+        for k in o0:
+            np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o0[k]),
+                                       rtol=2e-4, atol=2e-5, err_msg=k)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+        self._check_grads(g1, g0)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_singletask_matches_generic_path(self, monkeypatch):
+        l1, o1, g1, s1, _ = self._run(monkeypatch, True, multitasking=False)
+        l0, o0, g0, s0, _ = self._run(monkeypatch, False, multitasking=False)
+        np.testing.assert_allclose(np.asarray(o1["seg"]),
+                                   np.asarray(o0["seg"]), rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+        self._check_grads(g1, g0)
