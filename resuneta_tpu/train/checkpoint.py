@@ -106,6 +106,18 @@ class AsyncSaver:
         self.close()
 
 
+def restore_variables(ckpt_dir):
+    """Restore just the model variables ({'params', 'batch_stats'}) from a
+    checkpoint — no optimizer-state skeleton needed. For eval/export tooling
+    (tools/export_keras.py) that consumes training checkpoints without
+    rebuilding the TrainState."""
+    ckpt_dir = _abs(ckpt_dir)
+    with ocp.StandardCheckpointer() as saver:
+        restored = saver.restore(ckpt_dir)
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}
+
+
 def restore(ckpt_dir, state, learning_rate_override=None):
     """Restore into an existing (freshly-initialized) state skeleton; optionally
     override the learning rate like the reference does on resume."""
