@@ -137,6 +137,40 @@ def main():
         if dev_ms:
             extras["train_device_ms_per_step"] = round(dev_ms, 2)
             extras["train_device_patches_per_sec"] = round(bs / dev_ms * 1e3, 2)
+            # ---- MFU accounting (VERDICT r3 #2): FLOPs from XLA's cost
+            # model, so the JSON is self-judging against hardware capability
+            # (v5e bf16 nominal peak 197 TFLOP/s). Counted on a no-Pallas
+            # lowering of the SAME step: custom-call kernels are opaque to
+            # the cost model (they report zero flops), so the default program
+            # undercounts by whatever fraction runs fused.
+            try:
+                os.environ["RESUNETA_NO_PALLAS"] = "1"
+                count_step = make_train_step(loss_fns, weights,
+                                             multitasking=True,
+                                             preprocess=pipeline,
+                                             donate=False)
+                lowered = count_step.lower(state, batch)
+                try:
+                    ca = lowered.cost_analysis()
+                except Exception:
+                    ca = None
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                if not ca or not ca.get("flops"):
+                    ca = lowered.compile().cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                flops_per_step = float(ca.get("flops", 0.0))
+            except Exception as e:
+                print(f"# MFU accounting failed: {e!r}", file=sys.stderr)
+                flops_per_step = 0.0
+            finally:
+                os.environ.pop("RESUNETA_NO_PALLAS", None)
+            if flops_per_step > 0:
+                tf_s = flops_per_step / (dev_ms * 1e9)
+                extras["train_flops_per_patch"] = float(f"{flops_per_step / bs:.4g}")
+                extras["model_tflops_per_sec"] = round(tf_s, 2)
+                extras["pct_v5e_bf16_peak"] = round(100 * tf_s / 197.0, 2)
 
     # ---- secondary 512px row (BASELINE config #5 shape): recorded alongside
     # the 256px headline so every BENCH_r*.json carries both patch sizes
@@ -166,7 +200,128 @@ def main():
         np.asarray(row2)
         extras["train_512px_patches_per_sec"] = round(
             bs2 * steps2 / (time.perf_counter() - t0), 2)
+        if not os.environ.get("BENCH_NO_PROFILE"):
+            import tempfile
+            from resuneta_tpu.utils.xprof import capture_device_ms
+
+            def one_step2():
+                nonlocal state2, row2
+                state2, row2 = step2(state2, batch2)
+
+            with tempfile.TemporaryDirectory() as td:
+                dev_ms2 = capture_device_ms(one_step2, 2, td,
+                                            sync=lambda: np.asarray(row2))
+            if dev_ms2:
+                extras["train_512px_device_patches_per_sec"] = round(
+                    bs2 / dev_ms2 * 1e3, 2)
         del state2, batch2
+
+    # ---- 1024px long-context row (VERDICT r3 #5): the full multitask step —
+    # on-device label gen (row-tiled >=1024px JFA/Canny) + fwd/bwd + update —
+    # at 1024px with remat, the regime SURVEY §5's tiling machinery exists for
+    if ps == 256 and mesh is None and not os.environ.get("BENCH_NO_1024"):
+        ps3, bs3, steps3 = 1024, 2, 3
+        try:
+            model3 = ResUnetA(num_classes=num_classes, img_size=ps3,
+                              multitasking=True, dtype=dtype)
+            state3 = create_train_state(model3, jax.random.PRNGKey(0),
+                                        (1, ps3, ps3, 3), "adam", 1e-4)
+            step3 = make_train_step(loss_fns, weights, multitasking=True,
+                                    preprocess=pipeline, remat=True)
+            batch3 = {
+                "image_u8": jnp.asarray(rng.integers(
+                    0, 256, (bs3, ps3, ps3, 3), dtype=np.uint8)),
+                "label_ids": jnp.asarray(rng.integers(
+                    0, num_classes, (bs3, ps3, ps3)).astype(np.uint8)),
+                "aug": jnp.asarray(rng.integers(0, 5, bs3).astype(np.int32)),
+            }
+            for _ in range(2):
+                state3, row3 = step3(state3, batch3)
+            np.asarray(row3)
+            t0 = time.perf_counter()
+            for _ in range(steps3):
+                state3, row3 = step3(state3, batch3)
+            np.asarray(row3)
+            extras["train_1024px_patches_per_sec"] = round(
+                bs3 * steps3 / (time.perf_counter() - t0), 2)
+            del state3, batch3
+        except Exception as e:  # memory wall is a result, not a crash
+            extras["train_1024px_patches_per_sec"] = f"failed: {type(e).__name__}"
+
+    # ---- Amazon workload rows (VERDICT r3 #4): 14-channel 3-class multitask
+    # ResUnet-a (main_tcc/main_mabel config, 128px) — the second headline
+    # workload, train patches/s + whole-scene prediction() Mpix/s
+    if ps == 256 and mesh is None and not os.environ.get("BENCH_NO_AMAZON"):
+        from resuneta_tpu.losses import weighted_categorical_crossentropy
+        from resuneta_tpu.data.pipeline import make_label_head_pipeline
+
+        ps4, bs4, steps4, ch4 = 128, 32, 10, 14
+        model4 = ResUnetA(num_classes=3, img_size=ps4, multitasking=True,
+                          color_head=False, dtype=dtype)
+        state4 = create_train_state(model4, jax.random.PRNGKey(0),
+                                    (1, ps4, ps4, ch4), "adam", 1e-4)
+        wce = weighted_categorical_crossentropy([0.2, 0.8, 0.0])
+        step4 = make_train_step({"seg": wce, "bound": wce, "dist": wce},
+                                {"seg": 1.0, "bound": 1.0, "dist": 1.0},
+                                multitasking=True,
+                                preprocess=make_label_head_pipeline())
+        onehot = np.eye(3, dtype=np.float32)[
+            rng.integers(0, 2, (bs4, ps4, ps4))]
+        batch4 = {"image": jnp.asarray(
+                      rng.standard_normal((bs4, ps4, ps4, ch4)), jnp.float32),
+                  "seg": jnp.asarray(onehot)}
+        for _ in range(2):
+            state4, row4 = step4(state4, batch4)
+        np.asarray(row4)
+        t0 = time.perf_counter()
+        for _ in range(steps4):
+            state4, row4 = step4(state4, batch4)
+        np.asarray(row4)
+        extras["amazon_train_patches_per_sec"] = round(
+            bs4 * steps4 / (time.perf_counter() - t0), 2)
+        if not os.environ.get("BENCH_NO_PROFILE"):
+            import tempfile
+            from resuneta_tpu.utils.xprof import capture_device_ms
+
+            def one_step4():
+                nonlocal state4, row4
+                state4, row4 = step4(state4, batch4)
+
+            with tempfile.TemporaryDirectory() as td:
+                dev_ms4 = capture_device_ms(one_step4, 3, td,
+                                            sync=lambda: np.asarray(row4))
+            if dev_ms4:
+                extras["amazon_train_device_patches_per_sec"] = round(
+                    bs4 / dev_ms4 * 1e3, 2)
+
+        # whole-scene prediction() (infer/amazon.py, utils.py:505-546 flow):
+        # regime = float32 14ch scene in, full per-patch softmax out + host
+        # argmax/reconstruction/area-opening — the reference's own eval path
+        import jax as _jax
+        from resuneta_tpu.infer.amazon import prediction
+
+        Hs = Ws = 1280  # 100 patches of 128px
+        scene = rng.standard_normal((Hs, Ws, ch4)).astype(np.float32)
+        ref = rng.integers(0, 2, (Hs, Ws)).astype(np.float32)
+        variables4 = {"params": state4.params,
+                      "batch_stats": state4.batch_stats}
+
+        @_jax.jit
+        def apply4(x):
+            return model4.apply(variables4, x, train=False)
+
+        prediction(apply4, scene[:128 * 2, :128 * 2], ref[:256, :256],
+                   ref[:256, :256], np.ones((256, 256), np.float32),
+                   ps4, area=4)  # compile
+        t0 = time.perf_counter()
+        prediction(apply4, scene, ref, ref, np.ones((Hs, Ws), np.float32),
+                   ps4, area=4)
+        extras["amazon_scene_mpix_per_sec"] = round(
+            Hs * Ws / (time.perf_counter() - t0) / 1e6, 2)
+        extras["amazon_scene_regime"] = ("f32 14ch scene in, softmax out, "
+                                         "host argmax+area-opening (utils.py "
+                                         "prediction flow)")
+        del state4, batch4
 
     if not os.environ.get("BENCH_NO_INFER") and mesh is None:
         from resuneta_tpu.infer import predict_patches, make_seg_ids_fn
@@ -182,6 +337,11 @@ def main():
         predict_patches(ids_fn, ipatches, batch_size=ibs)
         idt = time.perf_counter() - t0
         extras["infer_mpix_per_sec"] = round(n_inf * ps * ps / idt / 1e6, 2)
+        # transfer regime label (VERDICT r3 #5-weak): these rows are the
+        # LIGHT regime — uint8 patches up, argmax'd uint8 class ids down;
+        # full-probability-volume regimes are ~16x more transfer
+        # (bench_infer.py table, BENCH_NOTES round 1)
+        extras["infer_regime"] = "uint8 patches in, uint8 class ids out"
         # device-time pixel rate: wall-clock Mpix/s swings with the day's
         # tunnel bandwidth (BENCH_NOTES.md round-2 drift note); the profiler
         # denominator is the reproducible one
@@ -196,6 +356,35 @@ def main():
             if dev_ms:
                 extras["infer_device_mpix_per_sec"] = round(
                     n_inf * ps * ps / dev_ms / 1e3, 2)
+
+        # 512px inference row (VERDICT r3 #8), same light regime
+        if ps == 256 and not os.environ.get("BENCH_NO_512"):
+            model5 = ResUnetA(num_classes=num_classes, img_size=512,
+                              multitasking=True, dtype=dtype)
+            import jax as _jax
+            vars5 = model5.init(_jax.random.PRNGKey(0),
+                                jnp.zeros((1, 512, 512, 3), dtype),
+                                train=False)
+            ids5 = make_seg_ids_fn(model5, vars5, multitask=True, norm_type=1)
+            ip5 = np.random.default_rng(2).integers(
+                0, 256, (24, 512, 512, 3), dtype=np.uint8)
+            predict_patches(ids5, ip5[:8], batch_size=8)  # compile
+            t0 = time.perf_counter()
+            predict_patches(ids5, ip5, batch_size=8)
+            extras["infer_512px_mpix_per_sec"] = round(
+                24 * 512 * 512 / (time.perf_counter() - t0) / 1e6, 2)
+            if not os.environ.get("BENCH_NO_PROFILE"):
+                import tempfile
+                from resuneta_tpu.utils.xprof import capture_device_ms
+
+                with tempfile.TemporaryDirectory() as td:
+                    dev5 = capture_device_ms(
+                        lambda: predict_patches(ids5, ip5, batch_size=8),
+                        1, td, lambda: None)
+                if dev5:
+                    extras["infer_512px_device_mpix_per_sec"] = round(
+                        24 * 512 * 512 / dev5 / 1e3, 2)
+            del vars5
 
     result = {
         "metric": label,

@@ -12,6 +12,11 @@ Usage: python multihost_worker.py <pid> <nproc> <port> <out_path>
 import os
 import sys
 
+# Run green without `pip install -e .`: the worker is launched as a bare
+# subprocess from tests/test_multihost.py, so it inherits no conftest sys.path
+# bootstrap — insert the repo root (parent of tests/) ourselves.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),

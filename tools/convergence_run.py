@@ -13,8 +13,18 @@ synthetic world, measured with the BASELINE.md gate metric (mIoU) in eval mode
 
 Run (TPU): python tools/convergence_run.py
 Env knobs: CONV_STEPS (default 600), CONV_PS (256), CONV_BS (16),
-           CONV_MIOU_FLOOR (0.60 exit gate), CONV_SEED (0).
-Prints one JSON line; exits nonzero if the held-out mIoU misses the floor.
+           CONV_MIOU_FLOOR (0.95 exit gate), CONV_CLASS_IOU_FLOOR (0.90
+           per-class exit gate), CONV_SEEDS ("0,1" — comma-separated world/
+           init seeds, each gated independently).
+Prints one JSON line per seed + a summary line; exits nonzero if ANY seed
+misses either floor.
+
+Gate calibration (round 4): round 3 measured val mIoU 0.9844 (per-class
+[0.997, 0.984, 0.971, 0.982, 0.988]) at the default config; a second seed
+measured the same regime (see BENCH_NOTES.md round 4 for both rows). The
+floors are set ~3 points under the observed band so a catastrophic numerics
+regression (label-gen, BN, loss sign) fails the gate while seed-to-seed
+variance (~1-2 points) does not.
 """
 
 import json
@@ -66,7 +76,7 @@ def make_world(height, width, num_classes, seed):
     return np.clip(img, 0, 255).astype(np.uint8), ids
 
 
-def main():
+def run_seed(seed, steps, ps, bs, floor, class_floor):
     import jax
     import jax.numpy as jnp
     from resuneta_tpu.models import ResUnetA
@@ -77,11 +87,6 @@ def main():
     from resuneta_tpu.ops.patches import extract_patches
     from resuneta_tpu.infer import predict_patches, make_seg_ids_fn
 
-    steps = int(os.environ.get("CONV_STEPS", 600))
-    ps = int(os.environ.get("CONV_PS", 256))
-    bs = int(os.environ.get("CONV_BS", 16))
-    floor = float(os.environ.get("CONV_MIOU_FLOOR", 0.60))
-    seed = int(os.environ.get("CONV_SEED", 0))
     nc = 5
     rng = np.random.default_rng(seed)
 
@@ -140,7 +145,9 @@ def main():
                                labels=list(range(nc)))
     acc = float((pred_ids == val_y).mean())
 
+    ok = bool(miou >= floor and min(float(v) for v in per_class) >= class_floor)
     result = {
+        "seed": seed,
         "steps": steps, "patch_size": ps, "batch_size": bs,
         "train_patches_per_sec": round(pps, 2),
         "final_train_seg_acc": round(float(r[5]), 4),
@@ -148,10 +155,31 @@ def main():
         "val_iou_per_class": [round(float(v), 4) for v in per_class],
         "val_acc": round(acc, 4),
         "miou_floor": floor,
-        "pass": bool(miou >= floor),
+        "class_iou_floor": class_floor,
+        "pass": ok,
     }
     print(json.dumps(result))
-    sys.exit(0 if miou >= floor else 1)
+    return result
+
+
+def main():
+    steps = int(os.environ.get("CONV_STEPS", 600))
+    ps = int(os.environ.get("CONV_PS", 256))
+    bs = int(os.environ.get("CONV_BS", 16))
+    floor = float(os.environ.get("CONV_MIOU_FLOOR", 0.95))
+    class_floor = float(os.environ.get("CONV_CLASS_IOU_FLOOR", 0.90))
+    # legacy single-seed knob still honored when CONV_SEEDS is unset
+    default_seeds = os.environ.get("CONV_SEED", "0,1")
+    seeds = [int(s) for s in
+             os.environ.get("CONV_SEEDS", default_seeds).split(",")]
+    results = [run_seed(s, steps, ps, bs, floor, class_floor) for s in seeds]
+    summary = {
+        "seeds": seeds,
+        "val_mious": [r["val_miou"] for r in results],
+        "pass": all(r["pass"] for r in results),
+    }
+    print(json.dumps(summary))
+    sys.exit(0 if summary["pass"] else 1)
 
 
 if __name__ == "__main__":

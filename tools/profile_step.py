@@ -96,6 +96,35 @@ def analyze(outdir):
         items = sorted(total.items(), key=lambda kv: -kv[1])
         grand = sum(total.values())
         print(f"total device op time: {grand:.1f} ms (5 steps) -> {grand/5:.1f} ms/step")
+
+        # ---- category rollup: where does the step actually go? 'relayout'
+        # sums the pure data-movement ops (copies/transposes/bare reshapes/
+        # converts) — the tax the dense-layout work exists to kill.
+        def category(name):
+            op = name.split(" = ")[0].lstrip("%")
+            base = op.rstrip("0123456789.").split(".")[0]
+            if base in ("copy", "transpose", "reshape", "convert", "bitcast",
+                        "copy-done", "copy-start") or "relayout" in base:
+                return "relayout/copy"
+            if "pallas" in base or "custom-call" in name:
+                return f"pallas:{base.split('_pallas')[0][:24]}"
+            if "convolution" in base:
+                return "convolution fusions"
+            if base.startswith(("fusion", "loop_fusion", "input_fusion")):
+                return "elementwise/reduce fusions"
+            if base.startswith(("reduce", "all-reduce")):
+                return "reduces"
+            if base.startswith("dot"):
+                return "dots"
+            return f"other:{base[:24]}"
+
+        cats = defaultdict(float)
+        for name, ms in total.items():
+            cats[category(name)] += ms
+        print("-- category rollup (ms/step, % of step):")
+        for cat, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+            print(f"  {ms/5:8.2f}  {100*ms/grand:5.1f}%  {cat}")
+
         for name, ms in items[:45]:
             print(f"  {ms/5:7.2f} ms/step x{count[name]//5:<4d} {name[:110]}")
 
