@@ -171,6 +171,37 @@ def main():
                 extras["train_flops_per_patch"] = float(f"{flops_per_step / bs:.4g}")
                 extras["model_tflops_per_sec"] = round(tf_s, 2)
                 extras["pct_v5e_bf16_peak"] = round(100 * tf_s / 197.0, 2)
+            # ---- in-situ chip calibration: a large clean bf16 matmul timed
+            # in the SAME session gives this environment's effective compute
+            # ceiling (the axon-tunneled chip measures far below the 197
+            # nominal — BENCH_NOTES.md round-1 hardware note), so the JSON
+            # carries a same-day roofline denominator, not just the nominal.
+            if flops_per_step > 0 and not os.environ.get("BENCH_NO_CALIB"):
+                try:
+                    k = 8192
+                    a = jnp.ones((k, k), jnp.bfloat16)
+                    b = jnp.ones((k, k), jnp.bfloat16)
+                    mm = jax.jit(lambda a, b: a @ b)
+                    r = mm(a, b)
+                    np.asarray(r.ravel()[:1])  # compile+sync (axon fence)
+                    reps, last = 8, [r]
+
+                    def run_mms():
+                        for _ in range(reps):
+                            last[0] = mm(a, b)
+
+                    with tempfile.TemporaryDirectory() as td:
+                        mm_ms = capture_device_ms(
+                            run_mms, 2, td,
+                            sync=lambda: np.asarray(last[0].ravel()[:1]))
+                    if mm_ms:
+                        eff = 2 * k**3 * reps / (mm_ms * 1e9)
+                        extras["chip_matmul_tflops_eff"] = round(eff, 2)
+                        extras["pct_of_measured_chip_peak"] = round(
+                            100 * tf_s / eff, 2)
+                    del a, b, r
+                except Exception as e:
+                    print(f"# chip calibration failed: {e!r}", file=sys.stderr)
 
     # ---- secondary 512px row (BASELINE config #5 shape): recorded alongside
     # the 256px headline so every BENCH_r*.json carries both patch sizes

@@ -45,7 +45,13 @@ except Exception:  # pragma: no cover
 
 import os as _os
 
-_VMEM_BUDGET = int(_os.environ.get("RESUNETA_DENSEMM_VMEM_BUDGET", int(5e6)))
+# Default measured on v5e (BENCH_NOTES.md round 4): 11e6 plans tile=32 at the
+# 256px levels (148.97 ms/step vs 149.94 at the old 5e6's tile=8) and — the
+# real win — unlocks the dense trunk at 512px (tile=16: 359.9 ms/step vs 388.3
+# NHWC; tile=8 at 6e6 gave 365.9) and plans 1024px at tile=8. The estimator
+# tracks the BACKWARD working set below; actual scoped VMEM stays under the
+# 16 MB/core limit at every plan this admits (compiler-verified on hardware).
+_VMEM_BUDGET = int(_os.environ.get("RESUNETA_DENSEMM_VMEM_BUDGET", int(11e6)))
 
 
 def _group(cins, cout):
