@@ -148,8 +148,10 @@ class Conv(nn.Module):
         if prologue is not None and self.kernel_size == (3, 3):
             from ..ops.pallas import convseg
             a, b = prologue
+            # bwd=False: the eval path needs no backward kernel, which
+            # additionally enables the C % 128 == 0 blocks (RB(256) at 32x32)
             if convseg.pallas_available(x.shape[1], x.shape[2], C,
-                                        self.features, d):
+                                        self.features, d, bwd=False):
                 return convseg.bn_act_conv_pallas(
                     x, a, b, kernel, bias, dilation=d, act=act)
             x = x * a.astype(x.dtype) + b.astype(x.dtype)

@@ -44,6 +44,13 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 MAX_CHANNELS = 128
+# Forward-only channel ceiling: the eval/inference path also runs C % 128 == 0
+# blocks (RB(256) at 32x32, test_ISPRS.py:26-36 eval shapes) — there the per-tap
+# matmul contracts a full (M, C) x (C, C) with no block-diagonal packing (lanes
+# are already full). The backward kernel's dw accumulators are built around
+# 128-wide blocks, so training keeps MAX_CHANNELS. C=512 self-rejects via the
+# VMEM plan (9 taps x 512^2 f32 = 9.4 MB).
+MAX_CHANNELS_FWD = 256
 # estimator budget: hardware showed actual scoped-vmem ~2.3x this estimate
 # (Mosaic temporaries + auto-double-buffered io blocks), so stay well under
 # 16 MB. RESUNETA_CONVSEG_VMEM_BUDGET overrides (bytes) — a tuning knob for
@@ -93,6 +100,7 @@ def _plan(H, W, C, d):
     working slices must fit VMEM. A double-buffered plan at ANY tile height is
     preferred over the single-buffered tier (overlapped DMA beats tile size)."""
     lanes = W * C
+    B = max(C, 128)  # per-tap matmul block width (see MAX_CHANNELS_FWD)
     for nbuf in (2, 1):
         budget = _VMEM_BUDGET if nbuf == 2 else _VMEM_BUDGET_SINGLE
         tile = 128
@@ -101,7 +109,7 @@ def _plan(H, W, C, d):
             need = (2 * win * lanes * 2    # double-buffered bf16 input windows
                     + 3 * tile * lanes * 4  # f32 z-slice + shifted copy + acc
                     + tile * lanes * 2     # output block
-                    + 9 * 128 * 128 * 4)   # block-diagonal taps
+                    + 9 * B * B * 4)       # (block-diagonal) taps
             if H % tile == 0 and need <= budget:
                 return tile, nbuf
             tile //= 2
@@ -134,13 +142,26 @@ class disabled:
         return False
 
 
-def pallas_available(H, W, C, Cout, d):
+def pallas_available(H, W, C, Cout, d, bwd=True):
+    """bwd=True (default): the caller needs the training kernels too — C must
+    divide the 128-lane block. bwd=False (eval/inference prologue path): the
+    forward-only kernel additionally handles C % 128 == 0 up to
+    MAX_CHANNELS_FWD with a full-width (C, C) tap matmul."""
     import os
     if _DISABLED_DEPTH or os.environ.get("RESUNETA_NO_PALLAS") or \
             os.environ.get("RESUNETA_NO_PALLAS_CONVSEG"):
         return False
+    if bwd:
+        ch_ok = C <= MAX_CHANNELS and 128 % C == 0
+    else:
+        # RESUNETA_CONVSEG_FWD_WIDE=0: A/B lever for the C > 128 eval tier
+        wide_max = MAX_CHANNELS if \
+            os.environ.get("RESUNETA_CONVSEG_FWD_WIDE") == "0" \
+            else MAX_CHANNELS_FWD
+        ch_ok = (128 % C == 0 if C <= MAX_CHANNELS
+                 else C <= wide_max and C % 128 == 0)
     return (_PALLAS_OK and jax.default_backend() == "tpu"
-            and C == Cout and C <= MAX_CHANNELS and 128 % C == 0
+            and C == Cout and ch_ok
             and (W * C) % 128 == 0 and _plan_tile(H, W, C, d) is not None)
 
 
@@ -222,7 +243,7 @@ def _pixel_roll_masked(arr, kj, C, W):
 
 
 def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
-                    *, H, W, C, tile, d, act, pad, win, nbuf):
+                    *, H, W, C, tile, d, act, pad, win, nbuf, B=128):
     i = pl.program_id(0)
     t = pl.program_id(1)
     lanes = W * C
@@ -266,7 +287,7 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
     b = bt_ref[0]
     row0 = t * tile  # global image row of output row 0
 
-    acc = jnp.zeros((tile * lanes // 128, 128), jnp.float32)
+    acc = jnp.zeros((tile * lanes // B, B), jnp.float32)
     for ti, ki in enumerate((-d, 0, d)):
         # z for the rows feeding this tap: affine + act in f32, zero outside
         # the image (conv SAME padding of z, NOT act(b)); cast to bf16 ONCE —
@@ -282,7 +303,7 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
             zs = zb if kj == 0 else _pixel_roll_masked(zb, kj, C, W)
             wk = w_ref[ti, tj].astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
-                zs.reshape(tile * lanes // 128, 128), wk,
+                zs.reshape(tile * lanes // B, B), wk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     y = acc + bias_ref[0]
@@ -424,7 +445,12 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
                          "guard with pallas_available()")
     tile, nbuf = plan
     T = H // tile
-    g = 128 // C
+    # B: per-tap matmul block width. C <= 128: g pixels per 128-lane block,
+    # block-diagonal taps (g-fold redundant FLOPs at full MXU width).
+    # C > 128 (multiple of 128, forward-only): one pixel spans C/128 lane
+    # blocks and the tap runs as a full-width (M, C) x (C, C) contraction.
+    B = max(C, 128)
+    g = B // C
     # pad == 0: window starts are clamped into the image and boundary programs
     # realign in VMEM — the activation is never physically padded in HBM.
     # Fallback to a padded copy only when one window exceeds the plane.
@@ -433,14 +459,15 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
     xf = xd if pad == 0 else jnp.pad(xd, ((0, 0), (pad, pad), (0, 0)))
     a_t = jnp.tile(a.astype(jnp.float32), Wd).reshape(1, lanes)
     b_t = jnp.tile(b.astype(jnp.float32), Wd).reshape(1, lanes)
-    bias_t = jnp.tile(bias.astype(jnp.float32), g).reshape(1, 128)
+    bias_t = jnp.tile(bias.astype(jnp.float32), g).reshape(1, B)
     eye = jnp.eye(g, dtype=w.dtype)
-    # (3, 3, 128, 128) block-diagonal taps: kron(I_g, w[ki, kj])
+    # (3, 3, B, B) block-diagonal taps: kron(I_g, w[ki, kj]) (g == 1 for
+    # C >= 128: the tap is the raw (C, C) matrix)
     wblk = jnp.einsum("ab,ijcd->ijacbd", eye, w.astype(jnp.float32)).reshape(
-        3, 3, 128, 128)
+        3, 3, B, B)
 
     kernel = functools.partial(_segment_kernel, H=H, W=Wd, C=C, tile=tile,
-                               d=d, act=act, pad=pad, win=win, nbuf=nbuf)
+                               d=d, act=act, pad=pad, win=win, nbuf=nbuf, B=B)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

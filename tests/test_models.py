@@ -205,11 +205,11 @@ class TestDenseTail:
         # must still honor convseg.disabled() — _run inits the eval path
         monkeypatch.setattr(
             convseg, "pallas_available",
-            lambda H, W, C, Co, d: not convseg._DISABLED_DEPTH
+            lambda H, W, C, Co, d, bwd=True: not convseg._DISABLED_DEPTH
             and d == 1 and C == 32)
         l1, o1, g1, _ = self._run(monkeypatch, True)
         monkeypatch.setattr(convseg, "pallas_available",
-                            lambda H, W, C, Co, d: False)
+                            lambda H, W, C, Co, d, bwd=True: False)
         l0, o0, g0, _ = self._run(monkeypatch, False)
         # outputs are the structural check (a mis-wired weight/ReLU shows up
         # at 1e-1 scale); gradients are NOT compared here — the monkeypatch
