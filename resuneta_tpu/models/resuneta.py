@@ -367,6 +367,7 @@ class PSPPooling(nn.Module):
             # sum of kron matmuls (reference op order preserved:
             # pool -> upsample -> ConvBN -> concat -> ConvBN, model2.py:41-79)
             from ..ops import dense as dops
+            from ..ops.pallas import densemm
             C = x.shape[-1] // dense_width
             parts = []
             for k in levels:
@@ -380,12 +381,26 @@ class PSPPooling(nn.Module):
                 p = _save(dops.max_pool(x, width=dense_width, channels=C, k=k))
                 p = ConvBN(quarter, dtype=self.dtype)(
                     p, train, dense_width=dense_width // k)
-                p = dops.upsample_nearest(p, width=dense_width // k,
-                                          channels=quarter, k=k)
-                parts.append((p, quarter))
-            parts.append((x, C))
+                parts.append([p, quarter, False, k])
+            parts.append([x, C, False, 1])
+            # fold the remaining upsamples into the final projection matmul
+            # (densemm ups). VMEM scales with max(ups) — the super-row tile
+            # keeps >= 8 rows per upsampled block — so when the full set has
+            # no plan, materialize the largest k's until one does (the large
+            # k's are also the cheapest to materialize: k^2-fold fewer rows).
+            Hd = x.shape[1]
+            while max(p[3] for p in parts) > 1 and not densemm.available(
+                    Hd, dense_width, tuple(p[1] for p in parts),
+                    self.features, tuple(p[3] for p in parts)):
+                kmax = max(p[3] for p in parts)
+                for p in parts:
+                    if p[3] == kmax:
+                        p[0] = dops.upsample_nearest(
+                            p[0], width=dense_width // kmax, channels=p[1],
+                            k=kmax)
+                        p[3] = 1
             return ConvBN(self.features, dtype=self.dtype, act=self.act)(
-                None, train, dense_parts=parts)
+                None, train, dense_parts=[tuple(p) for p in parts])
         pooled = []
         for k in levels:
             p = _upsample_nearest(_save(_max_pool(x, k)), k)
@@ -402,15 +417,21 @@ class Combine(nn.Module):
 
     @nn.compact
     def __call__(self, dec, skip, train: bool = False,
-                 dense_width: int = None, dense_channels=None):
+                 dense_width: int = None, dense_channels=None,
+                 dense_ups=None):
         if dense_width is not None:
             # lane-packed path: dec/skip are dense views; the concat feeding
             # the 1x1 conv becomes a sum of kron matmuls with the reference's
-            # relu(dec) fused into dec's matmul (never materialized)
+            # relu(dec) fused into dec's matmul (never materialized).
+            # dense_ups=(2, 1): dec arrives PRE-upsample (UpSampleConv
+            # deferred it) and the nearest x2 expansion folds into the same
+            # matmul (ops/pallas/densemm.py ups)
             c_dec, c_skip = dense_channels
+            u = dense_ups or (1, 1)
             return ConvBN(self.features, dtype=self.dtype)(
                 None, train,
-                dense_parts=[(dec, c_dec, True), (skip, c_skip, False)])
+                dense_parts=[(dec, c_dec, True, u[0]),
+                             (skip, c_skip, False, u[1])])
         x = jnp.concatenate([nn.relu(dec), skip], axis=-1)
         return ConvBN(self.features, dtype=self.dtype)(x, train)
 
@@ -421,7 +442,8 @@ class UpSampleConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dense_width: int = None):
+    def __call__(self, x, train: bool = False, dense_width: int = None,
+                 defer_upsample: bool = False):
         conv_bn = ConvBN(self.features, dtype=self.dtype)
         if dense_width is not None:
             # lane-packed path, with the ConvBN applied BEFORE the upsample:
@@ -431,9 +453,13 @@ class UpSampleConv(nn.Module):
             # unchanged) — the reference order up -> conv -> BN
             # (model2.py:89-94) reproduced at 4x less matmul/BN work and
             # features/channels-fold less upsample traffic (same commutation
-            # the dense PSPPooling uses).
+            # the dense PSPPooling uses). defer_upsample hands the SMALL
+            # tensor back so the consumer (Combine) folds the x2 expansion
+            # into its own matmul — no upsampled tensor ever materializes.
             from ..ops import dense as dops
             y = conv_bn(x, train, dense_width=dense_width)
+            if defer_upsample:
+                return y
             return dops.upsample_nearest(y, width=dense_width,
                                          channels=self.features, k=2)
         return conv_bn(_upsample_nearest(x, 2), train)
@@ -544,13 +570,20 @@ class ResUnetA(nn.Module):
                    (32, 64, [1, 3, 15, 31], c3),
                    (16, 32, [1, 3, 15, 31], c2))
         if dense:
+            from ..ops.pallas import densemm
             Wq = W0 // 8
             x = dops.to_dense(x)
             for up_f, f, dil, skip in shallow:
-                x = UpSampleConv(up_f, dtype=dt)(x, train, dense_width=Wq)
+                # fold UpSampleConv's nearest x2 into Combine's matmul when
+                # the planner admits the upsampled spec (densemm ups); the
+                # upsampled decoder tensor then never materializes
+                fold = densemm.available(Wq * 2, Wq * 2, (up_f, f), f, (2, 1))
+                x = UpSampleConv(up_f, dtype=dt)(x, train, dense_width=Wq,
+                                                 defer_upsample=fold)
                 Wq *= 2
                 x = Combine(f, dtype=dt)(x, skip, train, dense_width=Wq,
-                                         dense_channels=(up_f, f))
+                                         dense_channels=(up_f, f),
+                                         dense_ups=(2, 1) if fold else None)
                 x = ResBlockA(f, dil, dtype=dt)(x, train, dense_width=Wq)
         else:
             for up_f, f, dil, skip in shallow:

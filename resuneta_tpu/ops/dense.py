@@ -116,29 +116,40 @@ def concat_conv1x1(parts, kernel, bias, *, cout, dtype):
     the concat: conv1x1(concat([x1..xk], ch), W) == sum_i conv1x1(xi, W_i)
     where W_i is the matching input-channel slice of W.
 
-    parts: list of (xd_i, cin_i) or (xd_i, cin_i, act_i) — act_i=True fuses a
-    ReLU on that part's input (the reference Combine's relu(dec),
-    ResUnet_a/model2.py:81-87); kernel: (1, 1, sum cin_i, cout). On TPU the
-    whole sum runs as ONE layout-pinned Pallas kernel (ops/pallas/densemm.py)."""
-    parts = [p if len(p) == 3 else (p[0], p[1], False) for p in parts]
+    parts: list of (xd_i, cin_i[, act_i[, ups_i]]) — act_i=True fuses a ReLU
+    on that part's input (the reference Combine's relu(dec),
+    ResUnet_a/model2.py:81-87); ups_i > 1 hands the part PRE-upsample: the
+    nearest-x-ups expansion folds into the matmul (kron(P, W) columns + a
+    lane-space row repeat — ups-fold FEWER flops than upsampling first, and
+    none of the broadcast/reshape retiles a materialized upsample costs);
+    kernel: (1, 1, sum cin_i, cout). On TPU the whole sum runs as ONE
+    layout-pinned Pallas kernel (ops/pallas/densemm.py)."""
+    parts = [tuple(p) + (False, 1)[len(p) - 2:] for p in parts]
     w = kernel.reshape(-1, cout)
-    cins = tuple(c for _, c, _ in parts)
-    acts = tuple(bool(a) for _, _, a in parts)
-    Wd = parts[0][0].shape[2] // parts[0][1]
+    cins = tuple(c for _, c, _, _ in parts)
+    acts = tuple(bool(a) for _, _, a, _ in parts)
+    ups = tuple(int(k) for _, _, _, k in parts)
+    Wd = parts[0][0].shape[2] // parts[0][1] * ups[0]
+    Hd = parts[0][0].shape[1] * ups[0]
+    assert all(p[0].shape[1] * k == Hd and p[0].shape[2] // c * k == Wd
+               for p, c, k in zip(parts, cins, ups)), \
+        [(p[0].shape, c, k) for p, c, k in zip(parts, cins, ups)]
     from .pallas import densemm
-    if densemm.available(parts[0][0].shape[1], Wd, cins, cout):
+    if densemm.available(Hd, Wd, cins, cout, ups):
         offs = [0]
         for c in cins:
             offs.append(offs[-1] + c)
         assert offs[-1] == w.shape[0], (offs, w.shape)
         b = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
         return densemm.dense_mm(
-            (Wd, cins, cout, acts), False,
-            tuple(xd for xd, _, _ in parts),
+            (Wd, cins, cout, acts, ups), False,
+            tuple(xd for xd, _, _, _ in parts),
             tuple(w[offs[i]:offs[i + 1]] for i in range(len(parts))), b)
     off = 0
     acc = None
-    for xd, cin, act in parts:
+    for xd, cin, act, k in parts:
+        if k > 1:
+            xd = upsample_nearest(xd, width=Wd // k, channels=cin, k=k)
         y = conv1x1(xd, w[off:off + cin], None, cin=cin, cout=cout,
                     dtype=dtype, act_in=act)
         acc = y if acc is None else acc + y

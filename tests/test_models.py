@@ -302,3 +302,23 @@ class TestDenseTrunk:
                                    atol=2e-5)
         np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
         self._check_grads(g1, g0)
+
+    def test_upsample_fold_matches_materialized(self, monkeypatch):
+        """The wired ups-fold path (UpSampleConv deferring its x2 into
+        Combine's matmul, PSP folding its level upsamples into the final
+        projection — densemm kernels in interpret mode) must match the same
+        dense trunk with every upsample materialized (the jnp fallback)."""
+        monkeypatch.setenv("RESUNETA_DENSEMM_INTERPRET", "1")
+        l1, o1, g1, s1, p1 = self._run(monkeypatch, True)
+        monkeypatch.delenv("RESUNETA_DENSEMM_INTERPRET")
+        l0, o0, g0, s0, p0 = self._run(monkeypatch, True)
+        assert jax.tree_util.tree_structure(p1) == \
+            jax.tree_util.tree_structure(p0)
+        for k in o0:
+            np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o0[k]),
+                                       rtol=2e-4, atol=2e-5, err_msg=k)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+        self._check_grads(g1, g0)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
