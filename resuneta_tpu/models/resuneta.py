@@ -73,17 +73,20 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x, prologue=None, bn_raw=None, epilogue=None,
                  act: bool = True, dense_width: int = None,
-                 dense_parts=None, act_in: bool = False):
+                 dense_parts=None, act_in: bool = False,
+                 dense_pool: int = None):
         # dense_width set => x is the dense (N, H, W*C) view (ResBlockA's
         # fast path, the dense decoder tail); the op runs in the lane-packed
         # layout and the result stays dense. dense_parts=[(xd, cin[, act]), ..]
         # is a channel-concat input — the 1x1 conv runs as a sum of kron
         # matmuls and the concat never materializes (ops/dense.py); act=True
-        # fuses a ReLU on that part's input.
+        # fuses a ReLU on that part's input. dense_pool=k prepends a k x k
+        # max pool fused into the same kernel (PSP levels; dense_width is the
+        # POOLED width, x arrives at full resolution).
         if dense_parts is not None:
             C = sum(p[1] for p in dense_parts)
         elif dense_width is not None:
-            C = x.shape[-1] // dense_width
+            C = x.shape[-1] // (dense_width * (dense_pool or 1))
         else:
             C = x.shape[-1]
         kernel = self.param("kernel", _conv_init,
@@ -101,6 +104,12 @@ class Conv(nn.Module):
         if dense_width is not None:
             if self.kernel_size == (1, 1):
                 from ..ops import dense as dops
+                if dense_pool and dense_pool > 1:
+                    # fused max-pool -> 1x1 conv (PSP levels)
+                    assert self.strides == (1, 1)
+                    return dops.pool_conv1x1(
+                        x, kernel, bias, cin=C, cout=self.features,
+                        k=dense_pool, dtype=self.dtype)
                 if self.strides == (2, 2):
                     # encoder downsample conv on the dense view — the even-row
                     # selection is a free reshape, the even-column selection
@@ -192,17 +201,18 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, dense_width: int = None,
-                 dense_parts=None):
+                 dense_parts=None, dense_pool: int = None):
         conv = Conv(self.features, self.kernel, kernel_dilation=1,
                     strides=self.strides, dtype=self.dtype)
         bn = BatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                        act=self.act)
         if dense_width is not None or dense_parts is not None:
             # lane-packed path (train-mode dense tail): 1x1 conv as kron
-            # matmul (concat-free when dense_parts), BN stats + apply dense
+            # matmul (concat-free when dense_parts, pool-fused when
+            # dense_pool), BN stats + apply dense
             assert train, "dense ConvBN is a training-path optimization"
             y = _save(conv(x, dense_width=dense_width,
-                           dense_parts=dense_parts))
+                           dense_parts=dense_parts, dense_pool=dense_pool))
             return bn(y, train, features=self.features)
         if train:
             return bn(_save(conv(x)), train)
@@ -378,9 +388,12 @@ class PSPPooling(nn.Module):
                 # unchanged) — the reference order pool -> upsample -> ConvBN
                 # (model2.py:54-60) is reproduced bit-for-bit-ish at k^2-fold
                 # less conv/BN work and quarter-channel upsample traffic.
-                p = _save(dops.max_pool(x, width=dense_width, channels=C, k=k))
+                # pool + conv fused into one Pallas kernel (dense_pool;
+                # ops/pallas/poolconv.py) — the pooled tensor and its 6-D
+                # reshape/broadcast retiles never materialize
                 p = ConvBN(quarter, dtype=self.dtype)(
-                    p, train, dense_width=dense_width // k)
+                    x, train, dense_width=dense_width // k,
+                    dense_pool=k if k > 1 else None)
                 parts.append([p, quarter, False, k])
             parts.append([x, C, False, 1])
             # fold the remaining upsamples into the final projection matmul
@@ -713,10 +726,19 @@ class ResUnetA(nn.Module):
         def head1(feats, xd_in, act_in, name=None):
             """(optional fused ReLU ->) 1x1 conv as a layout-pinned dense kron
             matmul; returns the NHWC raw logits for the f32 output
-            activation."""
+            activation. The narrow logit widths (5/3) have no 128-aligned
+            dense plan — exit to NHWC and run the tiny conv there instead of
+            the jnp kron fallback (whose relayouted dot outputs were most of
+            mode 1's round-3 loss)."""
+            from ..ops.pallas import densemm
             conv = Conv(feats, (1, 1), dtype=dt, name=name)
-            return _save(conv(xd_in, dense_width=Wf,
-                              act_in=act_in)).reshape(N, Hf, Wf, feats)
+            if densemm.available(Hf, Wf, (32,), feats):
+                return _save(conv(xd_in, dense_width=Wf,
+                                  act_in=act_in)).reshape(N, Hf, Wf, feats)
+            xn = xd_in.reshape(N, Hf, Wf, 32)
+            if act_in:
+                xn = nn.relu(xn)
+            return _save(conv(xn))
 
         if not self.multitasking:
             logits = head1(self.num_classes, x_psp, False, name="Conv_6")

@@ -160,6 +160,25 @@ def concat_conv1x1(parts, kernel, bias, *, cout, dtype):
     return acc
 
 
+def pool_conv1x1(xd, kernel, bias, *, cin, cout, k, dtype):
+    """k x k max pool -> 1x1 conv on the dense view: (N, H, W*cin) ->
+    (N, H/k, (W/k)*cout) — PSPPooling's level ops (ResUnet_a/model2.py:54-60)
+    as ONE fused Pallas kernel (ops/pallas/poolconv.py): the pool never
+    materializes, killing the full-resolution 6-D reshape/broadcast retiles
+    XLA's pool fwd/bwd cost on the dense view (BENCH_NOTES.md round 4)."""
+    N, H, L = xd.shape
+    W = L // cin
+    from .pallas import poolconv
+    if k > 1 and poolconv.available(H, W, cin, cout, k):
+        b = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+        return poolconv.pool_conv((W, cin, cout, k), False, xd,
+                                  kernel.reshape(cin, cout), b)
+    from jax.ad_checkpoint import checkpoint_name
+    p = xd if k == 1 else checkpoint_name(
+        max_pool(xd, width=W, channels=cin, k=k), "save")
+    return conv1x1(p, kernel, bias, cin=cin, cout=cout, dtype=dtype)
+
+
 def max_pool(xd, *, width, channels, k):
     """k x k / stride-k max pool on the dense view: (N, H, W*C) ->
     (N, H/k, (W/k)*C). Row-major reshapes are free; the max runs fully
