@@ -277,7 +277,10 @@ def main():
                 bs3 * steps3 / (time.perf_counter() - t0), 2)
             del state3, batch3
         except Exception as e:  # memory wall is a result, not a crash
-            extras["train_1024px_patches_per_sec"] = f"failed: {type(e).__name__}"
+            # record the MESSAGE, not just the type — four rounds of artifacts
+            # couldn't tell a Mosaic lowering bug from an OOM (VERDICT r4)
+            extras["train_1024px_patches_per_sec"] = (
+                f"failed: {type(e).__name__}: {str(e)[:300]}")
 
     # ---- Amazon workload rows (VERDICT r3 #4): 14-channel 3-class multitask
     # ResUnet-a (main_tcc/main_mabel config, 128px) — the second headline

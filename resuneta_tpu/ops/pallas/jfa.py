@@ -175,13 +175,10 @@ def tiled_available(H, W):
             and W % 128 == 0 and _pick_tile(H) is not None)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def distance_transform_edt_pallas_tiled(planes, tile=None, interpret=False):
-    """EDT over (N, H, W) binary planes via row-tiled jump flooding — the
-    >= 1024px path (the VMEM-resident kernel covers smaller planes). Numerics
-    identical to distance_transform_edt_pallas / ops/distance.py."""
+def _tiled_impl(planes, tile, interpret):
+    """Single-call row-tiled flood over (N, H, W) planes (see the public
+    wrapper below for the batching story)."""
     N, H, W = planes.shape
-    tile = tile or _pick_tile(H)
     x = planes != 0
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -214,6 +211,48 @@ def distance_transform_edt_pallas_tiled(planes, tile=None, interpret=False):
     d2 = jnp.where(seed >= 0, (ii[None] - si) ** 2 + (jj[None] - sj) ** 2,
                    _BIG_I32)
     return jnp.sqrt(d2.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_vmapped(tile, interpret):
+    """custom_vmap wrapper for the row-tiled flood.
+
+    The train pipeline (data/pipeline.py) vmaps label generation over the
+    batch. jax.vmap's DEFAULT batching rule for pallas_call prepends a grid
+    axis and a batch index to every operand's index_map — but this kernel's
+    seed plane is a memory-space-ANY operand whose row bands are DMA'd
+    manually, and Mosaic rejects a blocked ANY operand with a non-trivial
+    index_map (the round-4 `train_1024px` ValueError, VERDICT.md). The fix is
+    structural: a custom_vmap rule that FOLDS the mapped axis into the
+    kernel's own leading plane grid (batch x channel planes are independent),
+    so no batched pallas_call ever reaches the lowering — and the compiled
+    program is the same one the unbatched tests pin."""
+
+    @jax.custom_batching.custom_vmap
+    def f(planes):
+        return _tiled_impl(planes, tile, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, planes):
+        (batched,) = in_batched
+        if not batched:
+            return f(planes), False
+        B, N = planes.shape[0], planes.shape[1]
+        out = f(planes.reshape((B * N,) + planes.shape[2:]))
+        return out.reshape((B, N) + out.shape[1:]), True
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def distance_transform_edt_pallas_tiled(planes, tile=None, interpret=False):
+    """EDT over (N, H, W) binary planes via row-tiled jump flooding — the
+    >= 1024px path (the VMEM-resident kernel covers smaller planes). Numerics
+    identical to distance_transform_edt_pallas / ops/distance.py. Safe under
+    jax.vmap (the fused train pipeline maps label generation over the batch):
+    a custom_vmap rule folds mapped axes into the plane grid."""
+    tile = tile or _pick_tile(planes.shape[-2])
+    return _tiled_vmapped(tile, bool(interpret))(planes)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

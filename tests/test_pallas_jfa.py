@@ -1,6 +1,7 @@
 """Pallas JFA kernel vs the lax implementation (interpreter mode on CPU) —
 numerics must be identical (same algorithm, same int32 arithmetic)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -43,6 +44,51 @@ class TestPallasJFA:
         out = np.asarray(jfa.distance_transform_edt_pallas_tiled(
             jnp.asarray(x), interpret=True))
         np.testing.assert_array_equal(out[0], ref)
+
+    def test_tiled_under_vmap_interpret(self):
+        """REGRESSION (VERDICT r4 #1): the fused train pipeline vmaps label
+        generation over the batch, and jax.vmap's default pallas batching rule
+        cannot lower this kernel's memory-space-ANY blocked operand on TPU.
+        The custom_vmap rule must fold the mapped axis into the plane grid and
+        reproduce the per-sample results exactly."""
+        rng = np.random.default_rng(3)
+        x = (rng.uniform(size=(2, 3, 64, 128)) > 0.3).astype(np.int32)
+        ref = np.stack([
+            np.asarray(jfa.distance_transform_edt_pallas_tiled(
+                jnp.asarray(s), tile=16, interpret=True)) for s in x
+        ])
+        out = np.asarray(jax.vmap(
+            lambda p: jfa.distance_transform_edt_pallas_tiled(
+                p, tile=16, interpret=True))(jnp.asarray(x)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_vmap_folds_batch_into_plane_grid(self, monkeypatch):
+        """Structural guarantee at the production 1024px pipeline shapes
+        (B=2 samples x C=5 one-hot planes): tracing the vmapped kernel must
+        reach the pallas implementation with the batch FOLDED into the plane
+        axis — i.e. an unbatched (10, 1024, 1024) call, the exact program the
+        unbatched tests pin — and never a batched pallas_call (which is what
+        failed to lower on TPU in round 4)."""
+        shapes = []
+        orig = jfa._tiled_impl
+
+        def record(planes, tile, interpret):
+            shapes.append(tuple(planes.shape))
+            return orig(planes, tile, interpret)
+
+        monkeypatch.setattr(jfa, "_tiled_impl", record)
+        jfa._tiled_vmapped.cache_clear()
+        try:
+            jax.make_jaxpr(jax.vmap(jfa.distance_transform_edt_pallas_tiled))(
+                jnp.zeros((2, 5, 1024, 1024), jnp.int32))
+        finally:
+            jfa._tiled_vmapped.cache_clear()  # drop recorder-bound closures
+        # custom_vmap also traces the UNBATCHED callee once to form its primal
+        # jaxpr (the (5, H, W) entry — never lowered); the executed program is
+        # the rule's folded (B*C, H, W) call, and nothing may ever see a
+        # batched 4-D operand.
+        assert shapes[-1] == (10, 1024, 1024)
+        assert all(len(s) == 3 for s in shapes)
 
     def test_degenerate_planes_interpret(self):
         allzero = jnp.zeros((1, 16, 16), jnp.int32)
