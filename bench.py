@@ -50,8 +50,7 @@ def main():
     from resuneta_tpu.data import make_device_pipeline
     from resuneta_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
                                             shard_batch, shard_batch_spatial,
-                                            replicate_state,
-                                            sharded_trace_scope)
+                                            replicate_state)
 
     ps = int(os.environ.get("BENCH_PATCH_SIZE", 256))
     bs = int(os.environ.get("BENCH_BATCH_SIZE", 16))
@@ -84,9 +83,13 @@ def main():
     # BENCH_REMAT=1: apply the SAVE_CONVS rematerialization policy — measured
     # negative at 256px (BENCH_NOTES.md) but halves activation memory, the
     # relevant regime for 512px/large-batch configs
+    # mesh: pure-dp meshes run the shard_map step (fused kernels live,
+    # explicit collectives); dp x sp meshes run GSPMD (kernel blackout
+    # handled inside the returned step) — train/steps.py
     train_step = make_train_step(loss_fns, weights, multitasking=True,
                                  preprocess=pipeline,
-                                 remat=os.environ.get("BENCH_REMAT") == "1")
+                                 remat=os.environ.get("BENCH_REMAT") == "1",
+                                 mesh=mesh)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -101,11 +104,9 @@ def main():
         batch = (shard_batch_spatial(batch, mesh) if "space" in mesh.axis_names
                  else shard_batch(batch, mesh))
 
-    # warmup / compile (mesh-sharded programs trace without the Pallas
-    # segment kernels — they are opaque to GSPMD)
-    with sharded_trace_scope(mesh):
-        for _ in range(3):
-            state, row = train_step(state, batch)
+    # warmup / compile
+    for _ in range(3):
+        state, row = train_step(state, batch)
     np.asarray(row)
 
     t0 = time.perf_counter()
@@ -352,9 +353,26 @@ def main():
                    ps4, area=4)
         extras["amazon_scene_mpix_per_sec"] = round(
             Hs * Ws / (time.perf_counter() - t0) / 1e6, 2)
-        extras["amazon_scene_regime"] = ("f32 14ch scene in, softmax out, "
-                                         "host argmax+area-opening (utils.py "
-                                         "prediction flow)")
+        # light regime since r5 (VERDICT r4 #5): argmax ids (uint8) + class-1
+        # probs (f16) reduced on device; metric-identical to the full download
+        # (tests/test_amazon.py light-regime parity)
+        extras["amazon_scene_regime"] = ("f32 14ch scene in, uint8 ids + f16 "
+                                         "prob1 out (device-reduced), host "
+                                         "area-opening (utils.py prediction "
+                                         "flow)")
+        if not os.environ.get("BENCH_NO_PROFILE"):
+            import tempfile
+            from resuneta_tpu.utils.xprof import capture_device_ms
+
+            with tempfile.TemporaryDirectory() as td:
+                dev_msA = capture_device_ms(
+                    lambda: prediction(apply4, scene, ref, ref,
+                                       np.ones((Hs, Ws), np.float32),
+                                       ps4, area=4),
+                    1, td, lambda: None)  # host post-processing self-syncs
+            if dev_msA:
+                extras["amazon_scene_device_mpix_per_sec"] = round(
+                    Hs * Ws / dev_msA / 1e3, 2)
         del state4, batch4
 
     if not os.environ.get("BENCH_NO_INFER") and mesh is None:
@@ -419,6 +437,20 @@ def main():
                     extras["infer_512px_device_mpix_per_sec"] = round(
                         24 * 512 * 512 / dev5 / 1e3, 2)
             del vars5
+
+    # ---- bf16 trajectory smoke (VERDICT r4 #8): the production bf16 step's
+    # 5-step loss series must track the pinned CPU/f32 series — catches
+    # bf16-only VJP breaks rounds before a convergence-gate miss would
+    if mesh is None and not os.environ.get("BENCH_NO_TRAJ"):
+        try:
+            from resuneta_tpu.utils import trajectory
+
+            tl = trajectory.run_losses(dtype)
+            extras["trajectory_losses"] = [round(l, 5) for l in tl]
+            extras["trajectory_ok"] = bool(trajectory.check(tl))
+        except Exception as e:
+            extras["trajectory_ok"] = (
+                f"failed: {type(e).__name__}: {str(e)[:200]}")
 
     result = {
         "metric": label,

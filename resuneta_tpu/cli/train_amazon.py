@@ -201,12 +201,12 @@ def main(argv=None):
         loss_fns = {"seg": wce}
         loss_weights = {}
         preprocess = None
-    train_step = make_train_step(loss_fns, loss_weights, multitasking=multitasking,
-                                 preprocess=preprocess)
-    eval_step = make_eval_step(loss_fns, loss_weights, multitasking=multitasking,
-                               preprocess=preprocess)
-
     mesh = make_mesh() if args.gpu_parallel and jax.device_count() > 1 else None
+    # pure-dp mesh -> shard_map step with the fused kernels live (steps.py)
+    train_step = make_train_step(loss_fns, loss_weights, multitasking=multitasking,
+                                 preprocess=preprocess, mesh=mesh)
+    eval_step = make_eval_step(loss_fns, loss_weights, multitasking=multitasking,
+                               preprocess=preprocess, mesh=mesh)
 
     config = TrainConfig(results_path=args.results_path,
                          batch_size=args.batch_size, epochs=args.epochs,

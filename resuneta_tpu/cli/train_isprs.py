@@ -154,10 +154,11 @@ def main(argv=None):
         )
         print(f"[INFO] new learning rate: {float(state.learning_rate)}")
 
+    # pure-dp mesh -> shard_map step with the fused kernels live (steps.py)
     train_step = make_train_step(loss_fns, loss_weights, args.multitasking,
-                                 preprocess=preprocess)
+                                 preprocess=preprocess, mesh=mesh)
     eval_step = make_eval_step(loss_fns, loss_weights, args.multitasking,
-                               preprocess=preprocess)
+                               preprocess=preprocess, mesh=mesh)
 
     os.makedirs(args.results_path, exist_ok=True)
     config = TrainConfig(

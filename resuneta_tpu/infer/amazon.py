@@ -10,11 +10,28 @@ import numpy as np
 
 from ..ops.patches import extract_patches_nonoverlap, reconstruct_from_patches
 from ..ops.morphology import area_opening
-from .sliding import predict_patches
+from .sliding import predict_patches, seg_ids_prob1, seg_prob1_f16
+
+
+def _seg_ids_probs(apply_fn, patch_ts, batch_size, mesh, full_probs):
+    """Batched forward -> (class ids, class-1 probs). Default: LIGHT transfer
+    regime — argmax ids (uint8) + prob1 (f16) reduced ON DEVICE before the
+    device->host transfer (~8x less download than the full multitask f32
+    probability volumes the reference's flow moves, utils.py:505-546; the
+    area-opening/masking stays on host). full_probs=True keeps the legacy
+    full-volume download (float32 end to end)."""
+    if full_probs:
+        preds = predict_patches(apply_fn, patch_ts, batch_size=batch_size,
+                                mesh=mesh)
+        seg = preds["seg"] if isinstance(preds, dict) else preds
+        return np.argmax(seg, axis=-1), seg[..., 1]
+    out = predict_patches(apply_fn, patch_ts, batch_size=batch_size,
+                          mesh=mesh, device_post=seg_ids_prob1)
+    return out["ids"], out["prob1"].astype(np.float32)
 
 
 def prediction(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
-               patch_size, area, batch_size=32, mesh=None):
+               patch_size, area, batch_size=32, mesh=None, full_probs=False):
     """Returns (ref_final, pre_final, prob_reconstructed, ref_reconstructed,
     ref_clip, clipping_mask, test_time) — the tuple of utils.py:505-546."""
     H, W = image_ref.shape
@@ -24,11 +41,8 @@ def prediction(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
     clipping_ref = extract_patches_nonoverlap(final_mask, patch_size, order="col")
 
     start_test = time.time()
-    preds = predict_patches(apply_fn, patch_ts.astype(np.float32),
-                            batch_size=batch_size, mesh=mesh)
-    seg = preds["seg"] if isinstance(preds, dict) else preds
-    p_labels = np.argmax(seg, axis=-1)
-    probs = seg[..., 1]
+    p_labels, probs = _seg_ids_probs(apply_fn, patch_ts.astype(np.float32),
+                                     batch_size, mesh, full_probs)
     end_test = time.time() - start_test
 
     ref_reconstructed = reconstruct_from_patches(patches_lb, H, W, order="col")
@@ -64,7 +78,7 @@ def prediction(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
 
 
 def prediction2(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
-                patch_size, area, batch_size=32, mesh=None):
+                patch_size, area, batch_size=32, mesh=None, full_probs=False):
     """utils2.py:370-417: like prediction() but patches come from
     extract_patches_right_region_prediction (only fully-valid patches, stride =
     patch_size) — suitable when the raster footprint excludes border regions.
@@ -87,10 +101,8 @@ def prediction2(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
     patches_lb = np.asarray(patches_lb)
 
     start_test = time.time()
-    preds = predict_patches(apply_fn, patch_ts, batch_size=batch_size, mesh=mesh)
-    seg = preds["seg"] if isinstance(preds, dict) else preds
-    p_labels = np.argmax(seg, axis=-1)
-    probs = seg[..., 1]
+    p_labels, probs = _seg_ids_probs(apply_fn, patch_ts, batch_size, mesh,
+                                     full_probs)
     end_test = time.time() - start_test
 
     ref_reconstructed = reconstruct_from_patches(patches_lb, H, W, order="col")
@@ -100,14 +112,20 @@ def prediction2(apply_fn, image_array, image_ref, final_mask, mask_amazon_ts,
 
 
 def output_prediction_FC(apply_fn, image_array, final_mask, patch_size,
-                         batch_size=32, mesh=None):
-    """utils2.py:304-310: probability-map-only whole-scene prediction."""
+                         batch_size=32, mesh=None, full_probs=False):
+    """utils2.py:304-310: probability-map-only whole-scene prediction (class-1
+    probs reduced to f16 on device by default; full_probs keeps f32 volumes)."""
     start_test = time.time()
     patch_ts = extract_patches_nonoverlap(image_array, patch_size, order="col")
-    preds = predict_patches(apply_fn, patch_ts.astype(np.float32),
-                            batch_size=batch_size, mesh=mesh)
-    seg = preds["seg"] if isinstance(preds, dict) else preds
-    probs = seg[..., 1]
+    if full_probs:
+        preds = predict_patches(apply_fn, patch_ts.astype(np.float32),
+                                batch_size=batch_size, mesh=mesh)
+        seg = preds["seg"] if isinstance(preds, dict) else preds
+        probs = seg[..., 1]
+    else:
+        probs = predict_patches(apply_fn, patch_ts.astype(np.float32),
+                                batch_size=batch_size, mesh=mesh,
+                                device_post=seg_prob1_f16).astype(np.float32)
     end_test = time.time() - start_test
     H, W = final_mask.shape[:2]
     prob_reconstructed = reconstruct_from_patches(probs, H, W, order="col")

@@ -9,6 +9,8 @@ patches are independent, so whole-scene inference scales linearly over ICI with 
 halo exchange (SURVEY.md §2.3 "spatial parallelism").
 """
 
+from contextlib import nullcontext as _nullcontext
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,17 +46,55 @@ def ids_u8(out):
     return jnp.argmax(out, axis=-1).astype(jnp.uint8)
 
 
-_COMPOSED_CACHE = {}       # (apply_fn, device_post) -> jitted composition
+def seg_ids_prob1(out):
+    """Light-regime head for the Amazon whole-scene flow (utils.py:505-546):
+    the eval only consumes the argmax class map and the class-1 probability
+    plane, so reduce ON DEVICE — uint8 ids + f16 prob1 are ~8x less transfer
+    than the full multitask f32 probability volumes."""
+    seg = out["seg"] if isinstance(out, dict) else out
+    return {"ids": jnp.argmax(seg, axis=-1).astype(jnp.uint8),
+            "prob1": seg[..., 1].astype(jnp.float16)}
+
+
+def seg_prob1_f16(out):
+    seg = out["seg"] if isinstance(out, dict) else out
+    return seg[..., 1].astype(jnp.float16)
+
+
+_COMPOSED_CACHE = {}       # (apply_fn, device_post[, mesh]) -> composition
 _COMPOSED_CACHE_MAX = 16   # strong refs key the cache, bounded FIFO eviction
 
 
-def _composed(apply_fn, device_post):
-    key = (apply_fn, device_post)
+def _cached(key, build):
     if key not in _COMPOSED_CACHE:
         if len(_COMPOSED_CACHE) >= _COMPOSED_CACHE_MAX:
             _COMPOSED_CACHE.pop(next(iter(_COMPOSED_CACHE)))
-        _COMPOSED_CACHE[key] = jax.jit(lambda x: device_post(apply_fn(x)))
+        _COMPOSED_CACHE[key] = build()
     return _COMPOSED_CACHE[key]
+
+
+def _composed(apply_fn, device_post):
+    """apply_fn followed by the on-device post head. Deliberately NOT re-jitted:
+    production apply_fns are already jitted programs, the post head is a couple
+    of cheap device dispatches on the output, and an outer jit would reject the
+    plain-numpy apply_fns the compat tests drive with."""
+    return _cached((apply_fn, device_post),
+                   lambda: (lambda x: device_post(apply_fn(x))))
+
+
+def _sharded_apply(apply_fn, mesh):
+    """Patch-grid parallel inference on a pure data-parallel mesh: shard_map
+    the (already jitted) forward over the 'data' axis so the fused eval
+    kernels stay live per shard (GSPMD partitioning would trace them out —
+    parallel/mesh.py). Patches are independent -> no collectives at all."""
+    from jax.sharding import PartitionSpec as P
+
+    def build():
+        mapped = jax.shard_map(apply_fn, mesh=mesh, in_specs=P("data"),
+                               out_specs=P("data"), check_vma=False)
+        return jax.jit(mapped)
+
+    return _cached((apply_fn, "shard_map", mesh), build)
 
 
 def make_seg_ids_fn(model, variables, multitask=True, norm_type=None):
@@ -91,10 +131,15 @@ def predict_patches(apply_fn, patches, batch_size=32, mesh=None, device_post=Non
     wall-clock on slow host links. The composed program is cached per
     (apply_fn, device_post) pair so repeated calls don't recompile."""
     n = patches.shape[0]
+    pure_dp = mesh is not None and all(
+        size == 1 for name, size in mesh.shape.items() if name != "data")
     if mesh is not None:
         # keep every batch divisible by the mesh axis
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         batch_size = max(batch_size // n_dev, 1) * n_dev
+    if pure_dp:
+        # shard the patch grid over 'data' with the fused kernels live
+        apply_fn = _sharded_apply(apply_fn, mesh)
     if device_post is not None:
         apply_fn = _composed(apply_fn, device_post)
     outs = []
@@ -108,7 +153,7 @@ def predict_patches(apply_fn, patches, batch_size=32, mesh=None, device_post=Non
         chunk = np.ascontiguousarray(chunk)
         if mesh is not None:
             chunk = shard_batch(chunk, mesh)
-        with sharded_trace_scope(mesh):
+        with sharded_trace_scope(mesh) if not pure_dp else _nullcontext():
             out = apply_fn(chunk)
         out = jax.device_get(out)
         if pad:

@@ -25,7 +25,13 @@ def tanimoto_loss(label, pred):
     pred = pred.astype(jnp.float32)
     smooth = 1e-5
 
-    Vli = jnp.mean(jnp.sum(label, axis=(1, 2)), axis=0)  # (C,)
+    # (C,) class volumes, averaged over the GLOBAL batch: under a shard_map'ed
+    # train step (parallel/axis.py) the local-batch mean is pmean'd across the
+    # data axis, preserving single-device numerics — the weights couple every
+    # sample in the batch, and in the dual's swapped call they are a function
+    # of the PREDICTIONS, so this collective also carries gradient.
+    from .parallel.axis import pmean as _axis_pmean
+    Vli = _axis_pmean(jnp.mean(jnp.sum(label, axis=(1, 2)), axis=0))
     wli = 1.0 / (Vli ** 2)  # inf where Vli == 0
     # NiftyNet inf handling: replace inf weights with the max finite weight
     finite = jnp.where(jnp.isinf(wli), jnp.zeros_like(wli), wli)

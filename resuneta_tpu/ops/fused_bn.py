@@ -41,6 +41,12 @@ def bn_stats(x):
     xs = x.astype(jnp.float32)
     mean = jnp.mean(xs, axes)
     msq = jnp.mean(xs * xs, axes)
+    # under a shard_map'ed train step the batch axis is LOCAL — pmean the raw
+    # moments across the data axis so statistics stay global-batch (sync-BN,
+    # identical numerics to the single-device / GSPMD program). Identity when
+    # no data axis is mapped.
+    from ..parallel.axis import pmean as _axis_pmean
+    mean, msq = _axis_pmean((mean, msq))
     # tagged as remat save points: (C,)-sized, and recomputing them in the
     # backward would cost a full extra pass over x (train/steps.py SAVE_CONVS)
     from jax.ad_checkpoint import checkpoint_name
@@ -58,7 +64,11 @@ def bn_stats_dense(xd, C):
     s = jnp.sum(xs, (0, 1)).reshape(-1, C).sum(0)
     s2 = jnp.sum(xs * xs, (0, 1)).reshape(-1, C).sum(0)
     mean = s / n
-    var = s2 / n - mean * mean
+    msq = s2 / n
+    # sync-BN across a shard_map'ed data axis (see bn_stats)
+    from ..parallel.axis import pmean as _axis_pmean
+    mean, msq = _axis_pmean((mean, msq))
+    var = msq - mean * mean
     from jax.ad_checkpoint import checkpoint_name
     return checkpoint_name(mean, "save"), checkpoint_name(var, "save")
 

@@ -44,13 +44,15 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 MAX_CHANNELS = 128
-# Forward-only channel ceiling: the eval/inference path also runs C % 128 == 0
-# blocks (RB(256) at 32x32, test_ISPRS.py:26-36 eval shapes) — there the per-tap
-# matmul contracts a full (M, C) x (C, C) with no block-diagonal packing (lanes
-# are already full). The backward kernel's dw accumulators are built around
-# 128-wide blocks, so training keeps MAX_CHANNELS. C=512 self-rejects via the
-# VMEM plan (9 taps x 512^2 f32 = 9.4 MB).
+# Wide channel ceilings for C % 128 == 0 blocks (RB(256) at H/8 resolution,
+# test_ISPRS.py:26-36 eval shapes): the per-tap matmul contracts a full
+# (M, C) x (C, C) with no block-diagonal packing (lanes are already full).
+# FWD covers the eval/inference prologue path; BWD_WIDE additionally runs the
+# training backward with (C, C) dw accumulator blocks (the wide plan budgets
+# the extra 9 x C^2 f32 accumulator VMEM — see _plan(bwd=True)). C=512
+# self-rejects via the VMEM plan (9 taps x 512^2 f32 = 9.4 MB).
 MAX_CHANNELS_FWD = 256
+MAX_CHANNELS_BWD_WIDE = 256
 # estimator budget: hardware showed actual scoped-vmem ~2.3x this estimate
 # (Mosaic temporaries + auto-double-buffered io blocks), so stay well under
 # 16 MB. RESUNETA_CONVSEG_VMEM_BUDGET overrides (bytes) — a tuning knob for
@@ -95,10 +97,13 @@ def _win_pad(H, tile, d):
 _VMEM_BUDGET_SINGLE = _VMEM_BUDGET + int(0.7e6)
 
 
-def _plan(H, W, C, d):
+def _plan(H, W, C, d, bwd=False):
     """(row-tile height, window buffer count) or None; the DMA window + f32
     working slices must fit VMEM. A double-buffered plan at ANY tile height is
-    preferred over the single-buffered tier (overlapped DMA beats tile size)."""
+    preferred over the single-buffered tier (overlapped DMA beats tile size).
+    bwd=True budgets the backward kernel's wide-tier dw accumulators — only
+    the C > 128 blocks pay it, so every hardware-calibrated C <= 128 plan is
+    byte-identical to the original formula."""
     lanes = W * C
     B = max(C, 128)  # per-tap matmul block width (see MAX_CHANNELS_FWD)
     for nbuf in (2, 1):
@@ -110,14 +115,16 @@ def _plan(H, W, C, d):
                     + 3 * tile * lanes * 4  # f32 z-slice + shifted copy + acc
                     + tile * lanes * 2     # output block
                     + 9 * B * B * 4)       # (block-diagonal) taps
+            if bwd and B > 128:
+                need += 9 * B * B * 4      # wide dw accumulator blocks
             if H % tile == 0 and need <= budget:
                 return tile, nbuf
             tile //= 2
     return None
 
 
-def _plan_tile(H, W, C, d):
-    p = _plan(H, W, C, d)
+def _plan_tile(H, W, C, d, bwd=False):
+    p = _plan(H, W, C, d, bwd=bwd)
     return p[0] if p else None
 
 
@@ -152,7 +159,12 @@ def pallas_available(H, W, C, Cout, d, bwd=True):
             os.environ.get("RESUNETA_NO_PALLAS_CONVSEG"):
         return False
     if bwd:
-        ch_ok = C <= MAX_CHANNELS and 128 % C == 0
+        # RESUNETA_CONVSEG_BWD_WIDE=0: A/B lever for the C > 128 train tier
+        wide_max = MAX_CHANNELS if \
+            os.environ.get("RESUNETA_CONVSEG_BWD_WIDE") == "0" \
+            else MAX_CHANNELS_BWD_WIDE
+        ch_ok = (128 % C == 0 if C <= MAX_CHANNELS
+                 else C <= wide_max and C % 128 == 0)
     else:
         # RESUNETA_CONVSEG_FWD_WIDE=0: A/B lever for the C > 128 eval tier
         wide_max = MAX_CHANNELS if \
@@ -162,7 +174,8 @@ def pallas_available(H, W, C, Cout, d, bwd=True):
                  else C <= wide_max and C % 128 == 0)
     return (_PALLAS_OK and jax.default_backend() == "tpu"
             and C == Cout and ch_ok
-            and (W * C) % 128 == 0 and _plan_tile(H, W, C, d) is not None)
+            and (W * C) % 128 == 0
+            and _plan_tile(H, W, C, d, bwd=bwd) is not None)
 
 
 def _start_window_copy(src_hbm, buf, sem, k, slot, *, T, tile, dup, win, pad,
@@ -312,7 +325,7 @@ def _segment_kernel(in_hbm, at_ref, bt_ref, w_ref, bias_ref, out_ref, buf, sem,
 
 def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
                 dx_ref, dw_ref, vec_ref, gbuf, sem,
-                *, H, W, C, tile, d, act, pad, win, nbuf):
+                *, H, W, C, tile, d, act, pad, win, nbuf, B=128):
     """One-pass backward for the fused segment: recomputes z tile-locally in
     VMEM (never re-materialized to HBM, unlike XLA remat which cannot fuse the
     recompute into conv ops) and emits dx, the 9 weight-gradient tap blocks,
@@ -368,7 +381,7 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     b = bt_ref[0]
     mu = mut_ref[0]
     inv = invt_ref[0]
-    Mg = tile * lanes // 128
+    Mg = tile * lanes // B
 
     x = x_cur[0].astype(jnp.float32)
     row0 = t * tile
@@ -379,16 +392,16 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
     z_pre = x * a + b
     z = jnp.maximum(z_pre, 0) if act else z_pre
     z = jnp.where(in_img, z, 0.0)
-    zg = z.reshape(Mg, 128).astype(jnp.bfloat16)
+    zg = z.reshape(Mg, B).astype(jnp.bfloat16)
     # ONE explicit transpose: the 9 weight-gradient taps then run as native
     # (M, K) @ (K, N) matmuls (lhs contraction on lanes) instead of Mosaic
     # inserting a sublane-contraction transpose inside every tap.
     zT = zg.T
 
-    dz = jnp.zeros((Mg, 128), jnp.float32)
+    dz = jnp.zeros((Mg, B), jnp.float32)
     gwin = gbuf[slot]
     vec_ref[2] += jnp.sum(
-        gwin[dup:dup + tile, :].astype(jnp.float32).reshape(Mg, 128), axis=0)
+        gwin[dup:dup + tile, :].astype(jnp.float32).reshape(Mg, B), axis=0)
     for ti, ki in enumerate((-d, 0, d)):
         # cotangent rows stay in their 16-bit storage dtype: mask once, then
         # the column taps roll the bitcast view (no f32 round-trip per tap)
@@ -404,7 +417,7 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
                 # g at pixel column (w - kj): roll lanes by +kj*C, mask where
                 # the source column falls outside the image
                 gs = _pixel_roll_masked(gs_rows, -kj, C, W)
-            gsg = gs.reshape(Mg, 128).astype(jnp.bfloat16)
+            gsg = gs.reshape(Mg, B).astype(jnp.bfloat16)
             # weight-gradient tap: z^T @ gs (contract over pixels)
             dw_ref[ti, tj] += jax.lax.dot_general(
                 zT, gsg, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -420,8 +433,8 @@ def _bwd_kernel(x_cur, g_hbm, at_ref, bt_ref, mut_ref, invt_ref, wblk_ref,
         dzl = jnp.where(z_pre > 0, dzl, 0.0)
     dzl = jnp.where(in_img, dzl, 0.0)
     xhat = (x - mu) * inv
-    vec_ref[0] += jnp.sum(dzl.reshape(Mg, 128), axis=0)
-    vec_ref[1] += jnp.sum((dzl * xhat).reshape(Mg, 128), axis=0)
+    vec_ref[0] += jnp.sum(dzl.reshape(Mg, B), axis=0)
+    vec_ref[1] += jnp.sum((dzl * xhat).reshape(Mg, B), axis=0)
     dx_ref[0] = (dzl * a).astype(dx_ref.dtype)
 
 
@@ -504,18 +517,20 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
                               dilation: int, act: bool,
                               interpret: bool = False):
     """Runs _bwd_kernel over the grid on dense (N, H, W*C) views. Returns
-    (dxd, dw_blocks, vecs) with dw_blocks (3, 3, 128, 128) and vecs
-    (3, 128) = [S1, S2, dc] in group-lane layout (fold the 128/C groups to get
-    per-channel values)."""
+    (dxd, dw_blocks, vecs) with dw_blocks (3, 3, B, B) and vecs
+    (3, B) = [S1, S2, dc] in group-lane layout, B = max(C, 128) (fold the
+    B/C groups to get per-channel values; for the wide C % 128 == 0 tier the
+    blocks ARE the per-channel values)."""
     N, H, lanes = xd.shape
     C = a.shape[0]
     Wd = width
     d = dilation
-    plan = _plan(H, Wd, C, d)
+    plan = _plan(H, Wd, C, d, bwd=True)
     if plan is None:
         raise ValueError("no tile plan; guard with pallas_available()")
     tile, nbuf = plan
     T = H // tile
+    B = max(C, 128)
     win, pad = _win_pad(H, tile, d)
 
     gf = gd.astype(xd.dtype)
@@ -526,7 +541,7 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
         return jnp.tile(v.astype(jnp.float32), Wd).reshape(1, lanes)
 
     kernel = functools.partial(_bwd_kernel, H=H, W=Wd, C=C, tile=tile, d=d,
-                               act=act, pad=pad, win=win, nbuf=nbuf)
+                               act=act, pad=pad, win=win, nbuf=nbuf, B=B)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)
     same = lambda i, t: (0, 0, 0, 0)
     dx, dw, vecs = pl.pallas_call(
@@ -541,14 +556,14 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
         out_specs=(
             pl.BlockSpec((1, tile, lanes), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, 128, 128), same, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128), lambda i, t: (0, 0),
+            pl.BlockSpec((3, 3, B, B), same, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, B), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, H, lanes), xd.dtype),
-            jax.ShapeDtypeStruct((3, 3, 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, B, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((nbuf, win, lanes), xd.dtype),
@@ -574,17 +589,20 @@ def _affine(gamma, beta, mean, var, eps):
     return a, beta - mean * a, invstd
 
 
-def _fold_groups(v128, C):
-    """(…, 128) group-lane vector -> per-channel (…, C) by summing groups."""
-    g = 128 // C
-    return v128.reshape(v128.shape[:-1] + (g, C)).sum(-2)
+def _fold_groups(vB, C):
+    """(…, B) group-lane vector -> per-channel (…, C) by summing groups
+    (identity for the wide C >= 128 tier, where B == C)."""
+    g = vB.shape[-1] // C
+    return vB.reshape(vB.shape[:-1] + (g, C)).sum(-2)
 
 
 def _block_w(w):
-    g = 128 // w.shape[2]
+    C = w.shape[2]
+    B = max(C, 128)
+    g = B // C
     eye = jnp.eye(g, dtype=jnp.float32)
     return jnp.einsum("ab,ijcd->ijacbd", eye, w.astype(jnp.float32)).reshape(
-        3, 3, 128, 128)
+        3, 3, B, B)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -613,7 +631,7 @@ def _fused_segment_fwd(dilation, eps, act, interpret, x, gamma, beta, mean,
 def _fold_cotangents(dx, dwblk, vecs, x, gamma, invstd, w):
     """(dx, block-diagonal tap grads, BN sums) -> the 7 input cotangents."""
     C = gamma.shape[0]
-    grp = 128 // C
+    grp = dwblk.shape[-1] // C
     # fold the block-diagonal taps: true dW = sum of the diagonal blocks
     dw = dwblk.reshape(3, 3, grp, C, grp, C)
     dw = jnp.einsum("ijgcgd->ijcd", dw)

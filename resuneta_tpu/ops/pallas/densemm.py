@@ -125,6 +125,11 @@ def available(H, W, cins, cout, ups=None, *, interpret=False):
     if not _PALLAS_OK or (not interpret and jax.default_backend() != "tpu"):
         return False
     ups = tuple(ups) if ups else (1,) * len(cins)
+    # RESUNETA_DENSEMM_UPS=0: A/B lever for the folded-nearest-upsample tier
+    # (Combine/PSP then materialize upsampled tensors and run plain parts)
+    if any(k > 1 for k in ups) and \
+            _os.environ.get("RESUNETA_DENSEMM_UPS") == "0":
+        return False
     if any(k & (k - 1) or k < 1 for k in ups):
         return False
     if any(H % k or W % k for k in ups):

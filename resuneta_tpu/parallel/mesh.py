@@ -18,11 +18,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def sharded_trace_scope(mesh):
     """Pallas calls are opaque to GSPMD — under a multi-device mesh they would
     force their operands to gather, so the fused segment kernels
-    (ops/pallas/convseg.py) must be off while TRACING a mesh-sharded program.
-    Wrap the trace-causing call (the first step/apply invocation) in this scope;
-    it is a no-op for single-device meshes. The label-gen kernels stay on (they
-    run inside the vmapped per-sample pipeline, whose batch sharding XLA keeps
-    outside the kernel)."""
+    (ops/pallas/convseg.py) must be off while TRACING a GSPMD-partitioned
+    program. Wrap the trace-causing call (the first step/apply invocation) in
+    this scope; it is a no-op for single-device meshes.
+
+    This is only the GSPMD ('space'-sharded) path's mechanism, applied
+    INTERNALLY by make_train_step/make_eval_step(mesh=...) and
+    predict_patches(mesh=...): pure data-parallel meshes instead run the
+    computation per-shard under shard_map, where the kernels stay live
+    (train/steps.py — do NOT wrap a shard_map'ed step in this scope, it would
+    trace the body with the kernels disabled). The label-gen kernels stay on
+    either way (they run inside the vmapped per-sample pipeline, whose batch
+    sharding XLA keeps outside the kernel)."""
     if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
         return contextlib.nullcontext()
     from ..ops.pallas import convseg

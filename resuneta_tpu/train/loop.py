@@ -19,7 +19,7 @@ import numpy as np
 from .steps import METRICS_MULTITASK, METRICS_SINGLE
 from .checkpoint import save_best, AsyncSaver
 from ..metrics import compute_mcc
-from ..parallel.mesh import shard_batch, sharded_trace_scope
+from ..parallel.mesh import shard_batch
 from ..utils.table import ascii_table
 
 
@@ -80,11 +80,13 @@ def _epoch_pass(step_fn, state, ds, batch_size, order, mesh, train: bool):
         raw = ds.get_batch(pos)
         if mesh is not None:
             raw = shard_batch(raw, mesh)
-        with sharded_trace_scope(mesh):
-            if train:
-                state, row = step_fn(state, raw)
-            else:
-                row = step_fn(state, raw)
+        # distribution strategy (shard_map vs GSPMD incl. the Pallas trace
+        # blackout) lives inside the step — build steps with
+        # make_train_step(mesh=...) when passing a mesh here
+        if train:
+            state, row = step_fn(state, raw)
+        else:
+            row = step_fn(state, raw)
         rows.append(row)  # device arrays; sync deferred to epoch end
     mean = np.mean(np.stack([np.asarray(r) for r in rows]), axis=0) if rows \
         else np.zeros(0)

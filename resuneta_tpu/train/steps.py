@@ -1,11 +1,20 @@
 """Jitted train/eval steps — the train_on_batch / test_on_batch equivalents
 (train_ISPRS.py:115-187), compiled once and sharded over the device mesh.
 
-One logical program over the global batch: under GSPMD the batch axis is sharded
-across the mesh's 'data' axis, gradients are all-reduced by compiler-inserted
-collectives over ICI, and BatchNorm batch statistics are computed over the GLOBAL
-batch (sync-BN), matching single-device numerics at any replica count
-(SURVEY.md §7 hard part (d)).
+One logical step over the global batch, with two distribution strategies
+(pass `mesh=` to the factories; SURVEY.md §7 hard part (d)):
+
+* pure data-parallel meshes — `shard_map` over the 'data' axis: the body runs
+  per-shard WITH the fused Pallas kernels live (they are opaque to GSPMD, so
+  the compiler-partitioned program had to trace without them — VERDICT r4),
+  and the batch-global couplings are explicit ICI collectives: pmean'd
+  BatchNorm statistics (sync-BN), pmean'd Tanimoto class volumes, pmean'd
+  gradients, psum'd metric counts. Numerics match the single-device program
+  at any replica count (tests/test_shardmap_step.py).
+* meshes with a live 'space' axis — GSPMD partitioning of the single logical
+  program (activation heights sharded, conv halo exchanges inserted by XLA);
+  the Pallas segment kernels are disabled while tracing (handled internally
+  via sharded_trace_scope — callers just call the returned step).
 
 Metric rows keep the reference's exact names and ordering so the epoch report and
 TensorBoard layout line up (train_ISPRS.py:493-496, 508-509).
@@ -17,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..metrics import categorical_accuracy, binary_counts
+from ..parallel import axis as data_axis
 
 # Rematerialization policy for the model forward inside the train step: keep
 # only tensors tagged "save" (conv/pool outputs and BN statistics —
@@ -53,7 +63,13 @@ def _multitask_total(loss_fns, loss_weights, outputs, batch):
 def _metrics_row(multitasking, total, per_head, seg_pred, seg_true):
     acc = categorical_accuracy(seg_true, seg_pred)
     tp, fp, tn, fn = binary_counts(seg_true, seg_pred)
+    # under a shard_map'ed step these are per-shard values: means pmean,
+    # counts psum (identity when no data axis is mapped)
+    tp, fp, tn, fn = data_axis.psum((tp, fp, tn, fn))
+    acc = data_axis.pmean(acc)
+    total = data_axis.pmean(total)
     if multitasking:
+        per_head = data_axis.pmean(per_head)
         zero = jnp.zeros((), total.dtype)
         return jnp.stack([
             total, per_head["seg"], per_head["bound"], per_head["dist"],
@@ -62,8 +78,52 @@ def _metrics_row(multitasking, total, per_head, seg_pred, seg_true):
     return jnp.stack([total, acc, tp, fp, tn, fn])
 
 
+def _pure_data_mesh(mesh, axis_name):
+    """True when every mesh axis except `axis_name` has size 1 — the shapes
+    shard_map data-parallelism covers. A live 'space' axis partitions
+    activation interiors (conv halo exchanges), which stays GSPMD's job."""
+    return all(size == 1 for name, size in mesh.shape.items()
+               if name != axis_name)
+
+
+def _distribute(step_fn, mesh, axis_name, donate, state_out=True):
+    """Wrap a step body for the given mesh (None -> plain jit; pure-dp ->
+    shard_map with collectives + fused kernels; else GSPMD with the Pallas
+    blackout scoped internally). state_out: body returns (state, row) vs a
+    bare row (eval). Every output is replicated — the row is collectively
+    reduced inside and state updates use pmean'd grads/statistics."""
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None and _pure_data_mesh(mesh, axis_name):
+        from jax.sharding import PartitionSpec as P
+
+        def body(state, batch):
+            with data_axis.data_axis(axis_name):
+                return step_fn(state, batch)
+
+        mapped = jax.shard_map(body, mesh=mesh,
+                               in_specs=(P(), P(axis_name)),
+                               out_specs=(P(), P()) if state_out else P(),
+                               check_vma=False)
+        return jax.jit(mapped, donate_argnums=donate_argnums)
+
+    jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
+    if mesh is None:
+        return jitted
+
+    from ..parallel.mesh import sharded_trace_scope
+
+    def gspmd_step(state, batch):
+        # the scope only matters while TRACING (first call); entering it per
+        # call costs nothing
+        with sharded_trace_scope(mesh):
+            return jitted(state, batch)
+
+    return gspmd_step
+
+
 def make_train_step(loss_fns: Dict, loss_weights: Dict, multitasking: bool,
-                    preprocess=None, donate: bool = True, remat: bool = False):
+                    preprocess=None, donate: bool = True, remat: bool = False,
+                    mesh=None, axis_name: str = "data"):
     """Returns train_step(state, batch) -> (state, metrics_row).
 
     batch: dict with 'image' plus label heads ('seg' [+ 'bound','dist','color']).
@@ -71,6 +131,11 @@ def make_train_step(loss_fns: Dict, loss_weights: Dict, multitasking: bool,
     batch on-device — the fused augment/normalize/label-gen pipeline plugs in here
     so everything from uint8 patches to gradients is ONE compiled program.
     `remat` applies the SAVE_CONVS rematerialization policy to the forward.
+    `mesh`: distribute the step (module docstring) — pure-dp meshes run the
+    body per-shard under shard_map with the fused kernels LIVE and explicit
+    collectives; 'space'-bearing meshes run GSPMD. Callers feed the step
+    mesh-sharded global arrays (parallel.mesh.shard_batch / replicate_state)
+    either way.
     """
 
     def train_step(state, batch):
@@ -98,17 +163,21 @@ def make_train_step(loss_fns: Dict, loss_weights: Dict, multitasking: bool,
         (total, (new_stats, outputs, per_head)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        # shard_map'ed meshes: all-reduce the per-shard gradients (identity
+        # otherwise; GSPMD inserts its own all-reduce from the sharding)
+        grads = data_axis.pmean(grads)
         new_state = state.apply_gradients(grads, new_stats)
         seg_pred = outputs["seg"] if multitasking else outputs
         row = _metrics_row(multitasking, total, per_head, seg_pred, batch["seg"])
         return new_state, row
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return _distribute(train_step, mesh, axis_name, donate)
 
 
 def make_eval_step(loss_fns: Dict, loss_weights: Dict, multitasking: bool,
-                   preprocess=None):
-    """test_on_batch equivalent: inference mode (running BN stats), no grads."""
+                   preprocess=None, mesh=None, axis_name: str = "data"):
+    """test_on_batch equivalent: inference mode (running BN stats), no grads.
+    `mesh` distributes exactly like make_train_step (shard_map for pure-dp)."""
 
     def eval_step(state, batch):
         if preprocess is not None:
@@ -125,4 +194,5 @@ def make_eval_step(loss_fns: Dict, loss_weights: Dict, multitasking: bool,
         seg_pred = outputs["seg"] if multitasking else outputs
         return _metrics_row(multitasking, total, per_head, seg_pred, batch["seg"])
 
-    return jax.jit(eval_step)
+    return _distribute(eval_step, mesh, axis_name, donate=False,
+                       state_out=False)

@@ -93,6 +93,45 @@ class TestPrediction:
         # perfect prediction on considered pixels
         np.testing.assert_array_equal(ref_final, pre_final)
 
+    def test_light_regime_matches_full_probs(self):
+        """VERDICT r5 #5: the default device-side reduction (uint8 argmax ids
+        + f16 class-1 probs) must produce IDENTICAL final metrics to the
+        legacy full-f32-softmax download on the whole prediction() +
+        matrics_AA_recall chain."""
+        import jax
+        import jax.numpy as jnp
+        from resuneta_tpu.infer.amazon import matrics_AA_recall
+
+        @jax.jit
+        def apply_fn(x):
+            # p1 in {~0.2, ~0.8}: far from every sweep threshold, so f16
+            # rounding of the probability plane cannot flip a comparison
+            p1 = jnp.where(x[..., 0] > 0, 0.8, 0.2)
+            return jnp.stack([1 - p1, p1, jnp.zeros_like(p1)], axis=-1)
+
+        rng = np.random.default_rng(7)
+        H = W = 64
+        img = (rng.uniform(size=(H, W, 2)) > 0.6).astype(np.float32)
+        ref = (rng.uniform(size=(H, W)) > 0.5).astype(np.float64)
+        final_mask = ref.copy()
+        mask_ts = np.ones((H, W))
+
+        outs = {}
+        for full in (False, True):
+            outs[full] = prediction(apply_fn, img, ref, final_mask, mask_ts,
+                                    patch_size=16, area=4, batch_size=4,
+                                    full_probs=full)
+        (ref_l, pre_l, prob_l, rec_l, clip_l, cm_l, _) = outs[False]
+        (ref_f, pre_f, prob_f, rec_f, clip_f, cm_f, _) = outs[True]
+        np.testing.assert_array_equal(pre_l, pre_f)   # argmax ids identical
+        np.testing.assert_array_equal(ref_l, ref_f)
+        np.testing.assert_allclose(prob_l, prob_f, atol=2e-4)  # f16 rounding
+        m_l = matrics_AA_recall(np.linspace(0.05, 0.95, 10), prob_l, ref,
+                                mask_ts, area=4)
+        m_f = matrics_AA_recall(np.linspace(0.05, 0.95, 10), prob_f, ref,
+                                mask_ts, area=4)
+        np.testing.assert_array_equal(m_l, m_f)       # metrics identical
+
     def test_color_map_classes(self):
         prob = np.array([[0.9, 0.1], [0.8, 0.2]])
         ref = np.array([[1.0, 0.0], [0.0, 1.0]])

@@ -66,12 +66,23 @@ class TestConvSeg:
                                    rtol=0.02, atol=0.15)
 
     def test_wide_channels_availability_gates(self):
-        # bwd (training) keeps the 128 ceiling; fwd admits 256 but not 512
-        # (tap buffer alone exceeds the VMEM plan) — on non-TPU backends both
-        # report False, so probe the channel predicate via _plan + constants
+        # both fwd (eval) and bwd (train) admit C=256 but not 512 (tap buffer
+        # alone exceeds the VMEM plan) — on non-TPU backends pallas_available
+        # reports False, so probe the channel predicate via _plan + constants
         assert convseg.MAX_CHANNELS == 128
         assert convseg.MAX_CHANNELS_FWD == 256
+        assert convseg.MAX_CHANNELS_BWD_WIDE == 256
         assert convseg._plan(32, 32, 256, 1) is not None
+        # the backward budgets the extra wide dw accumulators and still plans
+        # the RB(256) train geometries (256px H=32, Amazon 128px H=16, d=1/3)
+        assert convseg._plan(32, 32, 256, 1, bwd=True) is not None
+        assert convseg._plan(16, 16, 256, 3, bwd=True) is not None
+        # ...and the C <= 128 plans are BYTE-IDENTICAL with/without bwd (the
+        # hardware-calibrated tiers must not shift)
+        for (H, W, C, d) in ((256, 256, 32, 31), (128, 128, 64, 15),
+                             (64, 64, 128, 15), (512, 512, 32, 15)):
+            assert convseg._plan(H, W, C, d) == convseg._plan(H, W, C, d,
+                                                              bwd=True)
         assert convseg._plan(16, 16, 512, 1) is None
 
     def test_large_dilation_border(self):
@@ -136,6 +147,40 @@ class TestFusedSegmentVJP:
         g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
         g_fus = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
 
+        names = ["dx", "dgamma", "dbeta", "dmean", "dvar", "dw", "dbias"]
+        for name, r, f in zip(names, g_ref, g_fus):
+            r, f = np.asarray(r, np.float32), np.asarray(f, np.float32)
+            scale = max(np.abs(r).max(), 1e-3)
+            np.testing.assert_allclose(f, r, rtol=0.06, atol=0.06 * scale,
+                                       err_msg=name)
+
+    def test_wide_channels_grads_match_autodiff(self):
+        """C=256 training tier (MAX_CHANNELS_BWD_WIDE): full-width (C, C) dw
+        accumulator blocks, no group folding — gradients must match autodiff
+        of the unfused composition like the C<128 tier does."""
+        rng = np.random.default_rng(77)
+        N, H, W, C, d = 1, 32, 32, 256, 1
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)) * 0.5, jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2 + 1
+        beta = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        mean = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.05
+        var = jnp.asarray(np.abs(rng.standard_normal(C)) + 0.5, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        cot = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+
+        ref = self._compose(d, True)
+
+        def loss_ref(*args):
+            return jnp.sum(ref(*args) * cot)
+
+        def loss_fused(*args):
+            y = convseg.fused_segment(d, 1e-3, True, True, *args)
+            return jnp.sum(y.astype(jnp.float32) * cot)
+
+        args = (x, gamma, beta, mean, var, w, bias)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        g_fus = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
         names = ["dx", "dgamma", "dbeta", "dmean", "dvar", "dw", "dbias"]
         for name, r, f in zip(names, g_ref, g_fus):
             r, f = np.asarray(r, np.float32), np.asarray(f, np.float32)

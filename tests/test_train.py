@@ -257,3 +257,17 @@ class TestLearning:
         miou, _ = mean_iou(np.asarray(batch["label_ids"]).ravel(),
                            pred_ids.ravel(), labels=list(range(nc)))
         assert miou > 0.5, miou
+
+
+class TestTrajectoryPin:
+    def test_cpu_f32_series_matches_pin(self):
+        """The pinned REFERENCE_LOSSES (utils/trajectory.py) must stay exactly
+        re-derivable from the production CPU/f32 step — bench.py checks the
+        bf16 TPU step against this series, so a stale pin would turn
+        `trajectory_ok` into noise."""
+        from resuneta_tpu.utils import trajectory
+
+        losses = trajectory.run_losses()
+        np.testing.assert_allclose(losses, trajectory.REFERENCE_LOSSES,
+                                   rtol=1e-4)
+        assert trajectory.check(losses)
