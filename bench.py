@@ -373,6 +373,27 @@ def main():
             if dev_msA:
                 extras["amazon_scene_device_mpix_per_sec"] = round(
                     Hs * Ws / dev_msA / 1e3, 2)
+        # ---- same-session tunnel link calibration: the 14-channel f32 scene
+        # regime moves 56 MB per Mpix UP (1280^2 x 14 x 4B = 92 MB for 1.64
+        # Mpix), so the wall row is upload-bound on this axon link no matter
+        # how light the download regime is. Recording the measured host->
+        # device / device->host MB/s makes the JSON self-judging: the physical
+        # wall ceiling is tunnel_up_mb_per_sec / 56 Mpix/s.
+        try:
+            cal = np.zeros((4096, 4096), np.float32)  # 64 MiB
+            t0 = time.perf_counter()
+            xcal = jax.device_put(jnp.asarray(cal))
+            np.asarray(xcal.ravel()[:1])  # fence (axon: block_until_ready no-op)
+            up_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(xcal)
+            down_s = time.perf_counter() - t0
+            extras["tunnel_up_mb_per_sec"] = round(64.0 / up_s, 1)
+            extras["tunnel_down_mb_per_sec"] = round(64.0 / down_s, 1)
+            extras["amazon_scene_upload_mb_per_mpix"] = round(ch4 * 4.0, 1)
+            del xcal
+        except Exception as e:
+            print(f"# tunnel calibration failed: {e!r}", file=sys.stderr)
         del state4, batch4
 
     if not os.environ.get("BENCH_NO_INFER") and mesh is None:

@@ -44,14 +44,16 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 MAX_CHANNELS = 128
-# Wide channel ceilings for C % 128 == 0 blocks (RB(256) at H/8 resolution,
-# test_ISPRS.py:26-36 eval shapes): the per-tap matmul contracts a full
-# (M, C) x (C, C) with no block-diagonal packing (lanes are already full).
-# FWD covers the eval/inference prologue path; BWD_WIDE additionally runs the
-# training backward with (C, C) dw accumulator blocks (the wide plan budgets
-# the extra 9 x C^2 f32 accumulator VMEM — see _plan(bwd=True)). C=512
-# self-rejects via the VMEM plan (9 taps x 512^2 f32 = 9.4 MB).
-MAX_CHANNELS_FWD = 256
+# Wide channel ceilings for C % 128 == 0 blocks (RB(256)/RB(512) at deep
+# resolutions, test_ISPRS.py:26-36 eval shapes): the per-tap matmul contracts
+# a full (M, C) x (C, C) with no block-diagonal packing (lanes are already
+# full). FWD covers the eval/inference prologue path — with bf16 tap storage
+# (see _plan) C=512 fits a forward plan, so eval fuses RB(512) too; BWD_WIDE
+# additionally runs the training backward with (C, C) dw accumulator blocks
+# (the wide plan budgets the extra 9 x C^2 f32 accumulator VMEM — see
+# _plan(bwd=True)). C=512 training self-rejects via that accumulator
+# (9 x 512^2 x (2+4) B = 14.2 MB of taps alone).
+MAX_CHANNELS_FWD = 512
 MAX_CHANNELS_BWD_WIDE = 256
 # estimator budget: hardware showed actual scoped-vmem ~2.3x this estimate
 # (Mosaic temporaries + auto-double-buffered io blocks), so stay well under
@@ -98,27 +100,54 @@ _VMEM_BUDGET_SINGLE = _VMEM_BUDGET + int(0.7e6)
 
 
 def _plan(H, W, C, d, bwd=False):
-    """(row-tile height, window buffer count) or None; the DMA window + f32
-    working slices must fit VMEM. A double-buffered plan at ANY tile height is
-    preferred over the single-buffered tier (overlapped DMA beats tile size).
-    bwd=True budgets the backward kernel's wide-tier dw accumulators — only
-    the C > 128 blocks pay it, so every hardware-calibrated C <= 128 plan is
-    byte-identical to the original formula."""
+    """(row-tile height, window buffer count, window rows, source pad) or
+    None; the DMA window + f32 working slices must fit VMEM. A double-buffered
+    plan at ANY tile height is preferred over the single-buffered tier
+    (overlapped DMA beats tile size).
+
+    Narrow tier (C <= 128): the original hardware-calibrated search,
+    byte-identical plans to the round-4 formula. Wide tier (C > 128): the
+    taps are STORED bf16 (both kernels cast them to bf16 at the matmul
+    anyway, so f32 storage was pure VMEM waste — halves the 9*B*B tap
+    buffer), the physically zero-padded window variant (win = tile + 2*dup,
+    no 16-row alignment rounding, no in-VMEM realign) competes with the
+    clamp+roll variant, and the single-buffer tier counts ONE window slot
+    (what the kernel actually allocates). Together these admit every 512px
+    C=256 @ H=64 d={1,3,15} geometry that round 4 left on the unfused XLA
+    path (BENCH_NOTES round 5); bwd=True adds the wide dw accumulator
+    blocks."""
     lanes = W * C
     B = max(C, 128)  # per-tap matmul block width (see MAX_CHANNELS_FWD)
-    for nbuf in (2, 1):
+    if B <= 128:
+        for nbuf in (2, 1):
+            budget = _VMEM_BUDGET if nbuf == 2 else _VMEM_BUDGET_SINGLE
+            tile = 128
+            while tile >= 8:
+                win, pad = _win_pad(H, tile, d)
+                need = (2 * win * lanes * 2  # double-buffered bf16 windows
+                        + 3 * tile * lanes * 4  # f32 z + shifted copy + acc
+                        + tile * lanes * 2     # output block
+                        + 9 * B * B * 4)       # block-diagonal taps
+                if H % tile == 0 and need <= budget:
+                    return tile, nbuf, win, pad
+                tile //= 2
+        return None
+    dup = _dup(d)
+    taps = 9 * B * B * 2 + (9 * B * B * 4 if bwd else 0)  # bf16 taps [+f32 dw]
+    for nbuf, padded in ((2, False), (2, True), (1, False), (1, True)):
         budget = _VMEM_BUDGET if nbuf == 2 else _VMEM_BUDGET_SINGLE
         tile = 128
         while tile >= 8:
-            win, _ = _win_pad(H, tile, d)
-            need = (2 * win * lanes * 2    # double-buffered bf16 input windows
-                    + 3 * tile * lanes * 4  # f32 z-slice + shifted copy + acc
-                    + tile * lanes * 2     # output block
-                    + 9 * B * B * 4)       # (block-diagonal) taps
-            if bwd and B > 128:
-                need += 9 * B * B * 4      # wide dw accumulator blocks
+            if padded:
+                win, pad = tile + 2 * dup, max(dup, 8)
+            else:
+                win, pad = _win_pad(H, tile, d)
+            need = (nbuf * win * lanes * 2  # window slots actually allocated
+                    + 3 * tile * lanes * 4
+                    + tile * lanes * 2
+                    + taps)
             if H % tile == 0 and need <= budget:
-                return tile, nbuf
+                return tile, nbuf, win, pad
             tile //= 2
     return None
 
@@ -456,7 +485,7 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
     if plan is None:
         raise ValueError(f"no tile plan for ({H},{Wd},{C}) d={d}; "
                          "guard with pallas_available()")
-    tile, nbuf = plan
+    tile, nbuf, win, pad = plan
     T = H // tile
     # B: per-tap matmul block width. C <= 128: g pixels per 128-lane block,
     # block-diagonal taps (g-fold redundant FLOPs at full MXU width).
@@ -466,18 +495,22 @@ def bn_act_conv_pallas_dense(xd, a, b, w, bias, *, width: int, dilation: int,
     g = B // C
     # pad == 0: window starts are clamped into the image and boundary programs
     # realign in VMEM — the activation is never physically padded in HBM.
-    # Fallback to a padded copy only when one window exceeds the plane.
-    win, pad = _win_pad(H, tile, d)
+    # pad > 0: the planner chose the physically zero-padded source variant
+    # (plane shorter than one window, or a wide-tier plan where the padded
+    # window's smaller VMEM slot beats the 16-row-aligned roll window).
 
     xf = xd if pad == 0 else jnp.pad(xd, ((0, 0), (pad, pad), (0, 0)))
     a_t = jnp.tile(a.astype(jnp.float32), Wd).reshape(1, lanes)
     b_t = jnp.tile(b.astype(jnp.float32), Wd).reshape(1, lanes)
     bias_t = jnp.tile(bias.astype(jnp.float32), g).reshape(1, B)
+    # taps stored bf16 in the wide tier: both kernels cast to bf16 at the
+    # matmul, so the f32 copy was pure VMEM (the planner budgets 9*B*B*2)
+    wdt = jnp.bfloat16 if B > 128 else jnp.float32
     eye = jnp.eye(g, dtype=w.dtype)
     # (3, 3, B, B) block-diagonal taps: kron(I_g, w[ki, kj]) (g == 1 for
     # C >= 128: the tap is the raw (C, C) matrix)
     wblk = jnp.einsum("ab,ijcd->ijacbd", eye, w.astype(jnp.float32)).reshape(
-        3, 3, B, B)
+        3, 3, B, B).astype(wdt)
 
     kernel = functools.partial(_segment_kernel, H=H, W=Wd, C=C, tile=tile,
                                d=d, act=act, pad=pad, win=win, nbuf=nbuf, B=B)
@@ -528,10 +561,9 @@ def _segment_bwd_pallas_dense(xd, gd, a, b, mean, invstd, wblk, *, width: int,
     plan = _plan(H, Wd, C, d, bwd=True)
     if plan is None:
         raise ValueError("no tile plan; guard with pallas_available()")
-    tile, nbuf = plan
+    tile, nbuf, win, pad = plan
     T = H // tile
     B = max(C, 128)
-    win, pad = _win_pad(H, tile, d)
 
     gf = gd.astype(xd.dtype)
     if pad:
@@ -600,9 +632,13 @@ def _block_w(w):
     C = w.shape[2]
     B = max(C, 128)
     g = B // C
+    # bf16 storage in the wide tier — the kernels cast taps to bf16 at the
+    # matmul either way, so this is numerics-identical and halves the VMEM
+    # the planner must budget for the 9 tap blocks (_plan wide tier)
+    wdt = jnp.bfloat16 if B > 128 else jnp.float32
     eye = jnp.eye(g, dtype=jnp.float32)
     return jnp.einsum("ab,ijcd->ijacbd", eye, w.astype(jnp.float32)).reshape(
-        3, 3, B, B)
+        3, 3, B, B).astype(wdt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))

@@ -44,13 +44,15 @@ class TestConvSeg:
         np.testing.assert_allclose(got[:, sl, sl], ref[:, sl, sl],
                                    rtol=0.02, atol=0.02)
 
-    @pytest.mark.parametrize("d", [1, 3, 15])
-    def test_wide_channels_forward(self, d):
-        # C=256 forward-only tier (MAX_CHANNELS_FWD): the eval path's RB(256)
-        # at 32x32 — full-width (C, C) tap matmuls, no block-diagonal packing
-        rng = np.random.default_rng(100 + d)
-        N, H, W, C = 1, 32, 32, 256
-        assert convseg._plan(H, W, C, d) is not None, "RB(256)@32 must plan"
+    @pytest.mark.parametrize("C,d", [(256, 1), (256, 3), (256, 15),
+                                     (512, 1)])
+    def test_wide_channels_forward(self, C, d):
+        # C=256 forward-only tier at the eval path's RB(256) 32x32 geometry —
+        # full-width (C, C) tap matmuls, no block-diagonal packing — and the
+        # round-5 C=512 forward tier (bf16 tap storage) at RB(512) 16x16
+        rng = np.random.default_rng(100 + C + d)
+        N, H, W = 1, (32 if C == 256 else 16), (32 if C == 256 else 16)
+        assert convseg._plan(H, W, C, d) is not None, "wide RB must plan"
         x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
         a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
         b = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
@@ -70,20 +72,27 @@ class TestConvSeg:
         # alone exceeds the VMEM plan) — on non-TPU backends pallas_available
         # reports False, so probe the channel predicate via _plan + constants
         assert convseg.MAX_CHANNELS == 128
-        assert convseg.MAX_CHANNELS_FWD == 256
+        assert convseg.MAX_CHANNELS_FWD == 512
         assert convseg.MAX_CHANNELS_BWD_WIDE == 256
         assert convseg._plan(32, 32, 256, 1) is not None
         # the backward budgets the extra wide dw accumulators and still plans
         # the RB(256) train geometries (256px H=32, Amazon 128px H=16, d=1/3)
         assert convseg._plan(32, 32, 256, 1, bwd=True) is not None
         assert convseg._plan(16, 16, 256, 3, bwd=True) is not None
+        # round-5 wide-tier margins (bf16 taps + padded windows + honest
+        # single-buffer slots): every 512px C=256 @ H=64 train geometry plans
+        for d in (1, 3, 15):
+            assert convseg._plan(64, 64, 256, d, bwd=True) is not None
         # ...and the C <= 128 plans are BYTE-IDENTICAL with/without bwd (the
         # hardware-calibrated tiers must not shift)
         for (H, W, C, d) in ((256, 256, 32, 31), (128, 128, 64, 15),
                              (64, 64, 128, 15), (512, 512, 32, 15)):
             assert convseg._plan(H, W, C, d) == convseg._plan(H, W, C, d,
                                                               bwd=True)
-        assert convseg._plan(16, 16, 512, 1) is None
+        # C=512: forward-only (bf16 taps fit a fwd plan; the backward's f32
+        # dw accumulators alone blow the budget, so training self-rejects)
+        assert convseg._plan(16, 16, 512, 1) is not None
+        assert convseg._plan(16, 16, 512, 1, bwd=True) is None
 
     def test_large_dilation_border(self):
         # d comparable to tile: halo correctness at image borders
@@ -154,12 +163,19 @@ class TestFusedSegmentVJP:
             np.testing.assert_allclose(f, r, rtol=0.06, atol=0.06 * scale,
                                        err_msg=name)
 
-    def test_wide_channels_grads_match_autodiff(self):
+    @pytest.mark.parametrize("H,d", [
+        (32, 1),   # 256px RB(256): aligned roll window, double-buffered
+        (64, 1),   # 512px RB(256): the round-5 PADDED window bwd plan
+        (64, 15),  # 512px RB(256) d=15: single-buffered aligned window
+    ])
+    def test_wide_channels_grads_match_autodiff(self, H, d):
         """C=256 training tier (MAX_CHANNELS_BWD_WIDE): full-width (C, C) dw
         accumulator blocks, no group folding — gradients must match autodiff
-        of the unfused composition like the C<128 tier does."""
+        of the unfused composition like the C<128 tier does. Parametrized
+        over the window variants the round-5 planner emits (aligned/padded,
+        double/single-buffered) at the 256px and 512px RB(256) geometries."""
         rng = np.random.default_rng(77)
-        N, H, W, C, d = 1, 32, 32, 256, 1
+        N, W, C = 1, H, 256
         x = jnp.asarray(rng.standard_normal((N, H, W, C)) * 0.5, jnp.float32)
         gamma = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2 + 1
         beta = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
@@ -305,9 +321,9 @@ class TestFusedSegmentVJP:
         tier runs it with a single-buffered DMA window (exposed copy). Every
         other model-family geometry keeps the double-buffered plan, and the
         genuinely oversized 1024px first level stays unplanned."""
-        assert convseg._plan(512, 512, 32, 31) == (8, 1)
-        assert convseg._plan(256, 256, 64, 31) == (8, 1)
-        assert convseg._plan(512, 512, 32, 15) == (8, 2)
+        assert convseg._plan(512, 512, 32, 31)[:2] == (8, 1)
+        assert convseg._plan(256, 256, 64, 31)[:2] == (8, 1)
+        assert convseg._plan(512, 512, 32, 15)[:2] == (8, 2)
         assert convseg._plan(1024, 1024, 32, 31) is None
         for H, W, C in ((256, 256, 32), (128, 128, 64), (64, 64, 128)):
             for d in (1, 3, 15, 31):
@@ -320,7 +336,7 @@ class TestFusedSegmentVJP:
         to the double-buffered schedule."""
         rng = np.random.default_rng(11)
         N, H, W, C, d = 1, 128, 512, 32, 31
-        assert convseg._plan(H, W, C, d) == (8, 1), \
+        assert convseg._plan(H, W, C, d)[:2] == (8, 1), \
             "shape no longer exercises the single-buffer tier"
         x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
         a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
