@@ -121,15 +121,32 @@ def _pass_offsets(H, W, s):
     return dis, djs
 
 
+def _band_layout(dis, tile):
+    """Per-band (dma remainder, window rows, buffer row offset) — all static.
+
+    A band's DMA row start t*tile + halo + di is 8-sublane-aligned except when
+    |di| = s < 8 (the JFA schedule's s in {1, 2, 4}): an UNALIGNED start
+    crashes this toolchain's remote Mosaic compile helper outright (exit 1,
+    bisected pass-by-pass on hardware — BENCH_NOTES round 5), so those bands
+    fetch tile + 8 rows from the aligned floor (start - di%8) and roll the
+    remainder off in VMEM (native i32 sublane rotate, same op the VMEM-
+    resident kernel's _shift_fill uses)."""
+    rems = [di % 8 for di in dis]
+    wins = [tile + (8 if r else 0) for r in rems]
+    offs = [sum(wins[:k]) for k in range(len(wins))]
+    return rems, wins, offs
+
+
 def _edt_pass_kernel(prev_hbm, out_ref, buf, sem, *, H, W, s, tile, halo):
     n = pl.program_id(0)
     t = pl.program_id(1)
     dis, djs = _pass_offsets(H, W, s)
+    rems, wins, offs = _band_layout(dis, tile)
 
     for k, di in enumerate(dis):
         copy = pltpu.make_async_copy(
-            prev_hbm.at[n, pl.ds(t * tile + halo + di, tile), :],
-            buf.at[pl.ds(k * tile, tile), :], sem)
+            prev_hbm.at[n, pl.ds(t * tile + halo + di - rems[k], wins[k]), :],
+            buf.at[pl.ds(offs[k], wins[k]), :], sem)
         copy.start()
         copy.wait()
 
@@ -142,11 +159,21 @@ def _edt_pass_kernel(prev_hbm, out_ref, buf, sem, *, H, W, s, tile, halo):
         d2 = (ii - si) ** 2 + (jj - sj) ** 2
         return jnp.where(sd >= 0, d2, _BIG_I32)
 
-    cur = buf[pl.ds(dis.index(0) * tile, tile), :]
+    def band(k):
+        """Rows [rem, rem + tile) of band k's fetched window: roll the
+        aligned-floor fetch up by rem (wrapped tail rows land past row
+        `tile` and are sliced away)."""
+        w = buf[pl.ds(offs[k], wins[k]), :]
+        if rems[k]:
+            w = pltpu.roll(w, (-rems[k]) % wins[k], axis=0)
+            w = w[:tile, :]
+        return w
+
+    cur = band(dis.index(0))
     best_seed = cur
     best_d2 = d2_of(cur)
     for k, di in enumerate(dis):
-        rows = buf[pl.ds(k * tile, tile), :]
+        rows = band(k)
         for dj in djs:
             if di == 0 and dj == 0:
                 continue
@@ -199,8 +226,8 @@ def _tiled_impl(planes, tile, interpret):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((len(_pass_offsets(H, W, s)[0]) * tile, W),
-                           jnp.int32),
+                pltpu.VMEM((sum(_band_layout(_pass_offsets(H, W, s)[0],
+                                             tile)[1]), W), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,

@@ -45,6 +45,23 @@ class TestPallasJFA:
             jnp.asarray(x), interpret=True))
         np.testing.assert_array_equal(out[0], ref)
 
+    def test_band_layout_aligned_dma_starts(self):
+        """REGRESSION (round 5): band DMA row starts must be 8-sublane
+        aligned — |di| = s < 8 bands fetch tile + 8 rows from the aligned
+        floor and roll the remainder in VMEM. Unaligned starts crash the TPU
+        toolchain's remote Mosaic compile helper (bisected on hardware:
+        s=1 passes crashed, s>=8 compiled — BENCH_NOTES round 5)."""
+        from resuneta_tpu.ops.pallas.jfa import _band_layout
+
+        rems, wins, offs = _band_layout((-1, 0, 1), 128)
+        assert rems == [7, 0, 1]
+        assert wins == [136, 128, 136]
+        assert offs == [0, 136, 264]
+        for di, rem in zip((-1, 0, 1), rems):
+            assert (di - rem) % 8 == 0  # the DMA start offset is aligned
+        # aligned pass: no extra rows, no rolls
+        assert _band_layout((-256, 0, 256), 128)[1] == [128, 128, 128]
+
     def test_tiled_under_vmap_interpret(self):
         """REGRESSION (VERDICT r4 #1): the fused train pipeline vmaps label
         generation over the batch, and jax.vmap's default pallas batching rule
