@@ -399,19 +399,26 @@ class PSPPooling(nn.Module):
             # fold the remaining upsamples into the final projection matmul
             # (densemm ups). VMEM scales with max(ups) — the super-row tile
             # keeps >= 8 rows per upsampled block — so when the full set has
-            # no plan, materialize the largest k's until one does (the large
-            # k's are also the cheapest to materialize: k^2-fold fewer rows).
+            # no plan, DOWNGRADE the largest k's by 2x (materialize only a
+            # k=2 nearest-upsample at the POOLED width, 1/k^2 of the
+            # full-res traffic) until a plan exists. The former
+            # materialize-to-full-res fallback put four full-resolution
+            # 6-D reshape/broadcast retiles (and their reduce backwards) in
+            # the step — ~18 ms of the 512px profile (BENCH_NOTES round 5);
+            # the downgraded sets ((1,2,2,2,1) at both 256px and 512px)
+            # keep every full-res upsample inside the Pallas matmul.
             Hd = x.shape[1]
             while max(p[3] for p in parts) > 1 and not densemm.available(
                     Hd, dense_width, tuple(p[1] for p in parts),
-                    self.features, tuple(p[3] for p in parts)):
+                    self.features, tuple(p[3] for p in parts),
+                    itemsize=x.dtype.itemsize):
                 kmax = max(p[3] for p in parts)
                 for p in parts:
                     if p[3] == kmax:
                         p[0] = dops.upsample_nearest(
                             p[0], width=dense_width // kmax, channels=p[1],
-                            k=kmax)
-                        p[3] = 1
+                            k=2)
+                        p[3] = kmax // 2
             return ConvBN(self.features, dtype=self.dtype, act=self.act)(
                 None, train, dense_parts=[tuple(p) for p in parts])
         pooled = []
@@ -590,7 +597,8 @@ class ResUnetA(nn.Module):
                 # fold UpSampleConv's nearest x2 into Combine's matmul when
                 # the planner admits the upsampled spec (densemm ups); the
                 # upsampled decoder tensor then never materializes
-                fold = densemm.available(Wq * 2, Wq * 2, (up_f, f), f, (2, 1))
+                fold = densemm.available(Wq * 2, Wq * 2, (up_f, f), f, (2, 1),
+                                         itemsize=x.dtype.itemsize)
                 x = UpSampleConv(up_f, dtype=dt)(x, train, dense_width=Wq,
                                                  defer_upsample=fold)
                 Wq *= 2
@@ -732,7 +740,8 @@ class ResUnetA(nn.Module):
             mode 1's round-3 loss)."""
             from ..ops.pallas import densemm
             conv = Conv(feats, (1, 1), dtype=dt, name=name)
-            if densemm.available(Hf, Wf, (32,), feats):
+            if densemm.available(Hf, Wf, (32,), feats,
+                                 itemsize=xd_in.dtype.itemsize):
                 return _save(conv(xd_in, dense_width=Wf,
                                   act_in=act_in)).reshape(N, Hf, Wf, feats)
             xn = xd_in.reshape(N, Hf, Wf, 32)

@@ -50,7 +50,8 @@ def conv1x1(xd, kernel, bias, *, cin, cout, dtype, act_in=False):
         (128 % cin == 0 or cin % 128 == 0), (L, cin)
     W = L // cin
     from .pallas import densemm
-    if densemm.available(H, W, (cin,), cout):
+    if densemm.available(H, W, (cin,), cout,
+                         itemsize=xd.dtype.itemsize):
         b = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
         return densemm.dense_mm((W, (cin,), cout, (bool(act_in),)), False,
                                 (xd,), (kernel.reshape(cin, cout),), b)
@@ -135,7 +136,8 @@ def concat_conv1x1(parts, kernel, bias, *, cout, dtype):
                for p, c, k in zip(parts, cins, ups)), \
         [(p[0].shape, c, k) for p, c, k in zip(parts, cins, ups)]
     from .pallas import densemm
-    if densemm.available(Hd, Wd, cins, cout, ups):
+    if densemm.available(Hd, Wd, cins, cout, ups,
+                         itemsize=parts[0][0].dtype.itemsize):
         offs = [0]
         for c in cins:
             offs.append(offs[-1] + c)

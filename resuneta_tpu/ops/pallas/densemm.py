@@ -57,10 +57,14 @@ import os as _os
 # Default measured on v5e (BENCH_NOTES.md round 4): 11e6 plans tile=32 at the
 # 256px levels (148.97 ms/step vs 149.94 at the old 5e6's tile=8) and — the
 # real win — unlocks the dense trunk at 512px (tile=16: 359.9 ms/step vs 388.3
-# NHWC; tile=8 at 6e6 gave 365.9) and plans 1024px at tile=8. The estimator
-# tracks the BACKWARD working set below; actual scoped VMEM stays under the
-# 16 MB/core limit at every plan this admits (compiler-verified on hardware).
-_VMEM_BUDGET = int(_os.environ.get("RESUNETA_DENSEMM_VMEM_BUDGET", int(11e6)))
+# NHWC; tile=8 at 6e6 gave 365.9) and plans 1024px at tile=8. Round 5 raises
+# it to 12e6: the 512px PSP projection with the downgraded (1,2,2,2,1)
+# upsample-fold set needs 11.57 MB at tile=16 (keeping all full-res PSP
+# upsamples inside the matmul kernel instead of ~18 ms of materialized
+# reshape retiles). The estimator tracks the BACKWARD working set below;
+# actual scoped VMEM stays under the 16 MB/core limit at every plan this
+# admits (compiler-verified on hardware).
+_VMEM_BUDGET = int(_os.environ.get("RESUNETA_DENSEMM_VMEM_BUDGET", int(12e6)))
 
 
 def _norm_spec(spec):
@@ -113,10 +117,13 @@ def _plan_tile(H, W, cins, cout, itemsize, ups=None):
     return None
 
 
-def available(H, W, cins, cout, ups=None, *, interpret=False):
+def available(H, W, cins, cout, ups=None, *, interpret=False, itemsize=2):
     """Can dense_mm run on (N, H, W*cin) views with these channel counts (and
     optional per-part nearest-upsample factors, given in OUTPUT geometry
-    H x W)?"""
+    H x W)? `itemsize` must match the operand dtype dense_mm will see (2 for
+    the production bf16 path): the VMEM plan scales with it, and a gate probed
+    at bf16 can admit an f32 spec that dense_mm then rejects at trace time
+    (the CPU/f32 parity-test path)."""
     from . import convseg
     if convseg._DISABLED_DEPTH or _os.environ.get("RESUNETA_NO_PALLAS") or \
             _os.environ.get("RESUNETA_NO_PALLAS_DENSEMM"):
@@ -148,7 +155,7 @@ def available(H, W, cins, cout, ups=None, *, interpret=False):
             return False
     if (W * cout) % 128 != 0:
         return False
-    return _plan_tile(H, W, cins, cout, 2, ups) is not None
+    return _plan_tile(H, W, cins, cout, itemsize, ups) is not None
 
 
 def _to_super(y, k, kbar, tile, Wc):

@@ -303,6 +303,59 @@ class TestDenseTrunk:
         np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
         self._check_grads(g1, g0)
 
+    def test_psp_partial_downgrade_matches_materialized(self, monkeypatch):
+        """PSP upsample-fold DOWNGRADE path (round 5): when the full
+        (1,2,4,8) upsample set has no densemm VMEM plan, the largest k's are
+        halved (a k=2 nearest-upsample materialized at the POOLED width)
+        until a plan exists, instead of materializing full-res tensors. At
+        W=128 the sequence naturally stops at (1,2,4,4,1) — this pins the
+        downgraded fold against the fully-materialized jnp path (same
+        params)."""
+        import resuneta_tpu.models.resuneta as M
+        from resuneta_tpu.ops.pallas import densemm
+
+        cins = (8, 8, 8, 8, 32)
+        assert not densemm.available(128, 128, cins, 32, (1, 2, 4, 8, 1),
+                                     interpret=True)
+        assert densemm.available(128, 128, cins, 32, (1, 2, 4, 4, 1),
+                                 interpret=True)
+
+        rng = np.random.default_rng(11)
+        W = 128
+        xn = jnp.asarray(rng.standard_normal((1, W, W, 32)) * 0.5,
+                         jnp.float32)
+        xd = xn.reshape(1, W, W * 32)
+        # img_width=256 gates in all four pool levels {1,2,4,8}
+        psp = M.PSPPooling(32, 256, dtype=jnp.float32)
+
+        def run(fold):
+            if fold:
+                monkeypatch.setenv("RESUNETA_DENSEMM_INTERPRET", "1")
+            else:
+                monkeypatch.setenv("RESUNETA_NO_PALLAS_DENSEMM", "1")
+            variables = psp.init(jax.random.PRNGKey(0), xd, train=True,
+                                 dense_width=W)
+
+            def loss(params):
+                out, upd = psp.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    xd, train=True, dense_width=W, mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32) ** 2), (out, upd)
+
+            (l, (out, upd)), g = jax.value_and_grad(loss, has_aux=True)(
+                variables["params"])
+            monkeypatch.delenv("RESUNETA_DENSEMM_INTERPRET", raising=False)
+            monkeypatch.delenv("RESUNETA_NO_PALLAS_DENSEMM", raising=False)
+            return l, out, g
+
+        l1, o1, g1 = run(True)
+        l0, o0, g0 = run(False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+        self._check_grads(g1, g0)
+
     def test_upsample_fold_matches_materialized(self, monkeypatch):
         """The wired ups-fold path (UpSampleConv deferring its x2 into
         Combine's matmul, PSP folding its level upsamples into the final
