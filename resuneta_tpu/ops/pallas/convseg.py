@@ -187,18 +187,24 @@ def pallas_available(H, W, C, Cout, d, bwd=True):
     if _DISABLED_DEPTH or os.environ.get("RESUNETA_NO_PALLAS") or \
             os.environ.get("RESUNETA_NO_PALLAS_CONVSEG"):
         return False
+    # The C > 128 wide tiers are OPT-IN (RESUNETA_CONVSEG_BWD_WIDE=1 /
+    # RESUNETA_CONVSEG_FWD_WIDE=1): device A/B at the round-5 HEAD measured
+    # the full-width (C, C) kernels LOSING to XLA's native convs at every
+    # C=256 geometry — 256px train +1.9 ms/step, 512px train +5.3 ms/step,
+    # 256px eval grid +3 ms (BENCH_NOTES round 5). NHWC is already lane-full
+    # at C >= 128, so the dense kernels' layout win doesn't exist there and
+    # the window DMA/roll overhead is pure cost. Kept implemented + parity-
+    # tested for future hardware where the balance may flip.
     if bwd:
-        # RESUNETA_CONVSEG_BWD_WIDE=0: A/B lever for the C > 128 train tier
-        wide_max = MAX_CHANNELS if \
-            os.environ.get("RESUNETA_CONVSEG_BWD_WIDE") == "0" \
-            else MAX_CHANNELS_BWD_WIDE
+        wide_max = MAX_CHANNELS_BWD_WIDE if \
+            os.environ.get("RESUNETA_CONVSEG_BWD_WIDE") == "1" \
+            else MAX_CHANNELS
         ch_ok = (128 % C == 0 if C <= MAX_CHANNELS
                  else C <= wide_max and C % 128 == 0)
     else:
-        # RESUNETA_CONVSEG_FWD_WIDE=0: A/B lever for the C > 128 eval tier
-        wide_max = MAX_CHANNELS if \
-            os.environ.get("RESUNETA_CONVSEG_FWD_WIDE") == "0" \
-            else MAX_CHANNELS_FWD
+        wide_max = MAX_CHANNELS_FWD if \
+            os.environ.get("RESUNETA_CONVSEG_FWD_WIDE") == "1" \
+            else MAX_CHANNELS
         ch_ok = (128 % C == 0 if C <= MAX_CHANNELS
                  else C <= wide_max and C % 128 == 0)
     return (_PALLAS_OK and jax.default_backend() == "tpu"

@@ -9,13 +9,13 @@ Measures, in ONE process on the real chip (so the rows are comparable):
                     commit 30b25dc)
     poolconv_off  — RESUNETA_NO_PALLAS_POOLCONV=1 (fused max-pool->1x1-conv PSP
                     kernel off; ops/pallas/poolconv.py)
-    bwd_wide0     — RESUNETA_CONVSEG_BWD_WIDE=0 (C=256 fused TRAIN tier off;
-                    round-5 convseg.py wide-dw blocking)
+    bwd_wide1     — RESUNETA_CONVSEG_BWD_WIDE=1 (C=256 fused TRAIN tier ON;
+                    opt-in since the round-5 A/B measured it losing to XLA)
 
-  train 512px bs=8: head vs bwd_wide0
+  train 512px bs=8: head vs bwd_wide1
 
   eval 256px (ids regime, uint8 in/out, full patch grid):
-    head vs RESUNETA_CONVSEG_FWD_WIDE=0 (C=256 fused EVAL segments off; f23d09b)
+    head vs RESUNETA_CONVSEG_FWD_WIDE=1 (C=256 fused EVAL segments ON; opt-in)
 
 All toggles are read at trace time (convseg.py/densemm.py/poolconv.py), so a
 fresh make_train_step per config picks them up. Prints one JSON line per row.
@@ -129,7 +129,7 @@ def main():
         ("head", {}),
         ("densemm_ups0", {"RESUNETA_DENSEMM_UPS": "0"}),
         ("poolconv_off", {"RESUNETA_NO_PALLAS_POOLCONV": "1"}),
-        ("bwd_wide0", {"RESUNETA_CONVSEG_BWD_WIDE": "0"}),
+        ("bwd_wide1", {"RESUNETA_CONVSEG_BWD_WIDE": "1"}),
     ]
     only = os.environ.get("AB_ONLY")  # comma-list of config names
     for name, env in train_cfgs:
@@ -144,7 +144,7 @@ def main():
 
     if not os.environ.get("AB_NO_512"):
         for name, env in [("head", {}),
-                          ("bwd_wide0", {"RESUNETA_CONVSEG_BWD_WIDE": "0"})]:
+                          ("bwd_wide1", {"RESUNETA_CONVSEG_BWD_WIDE": "1"})]:
             if only and name not in only.split(","):
                 continue
             dev_ms, comp_s = train_dev_ms(512, 8, env)
@@ -156,7 +156,7 @@ def main():
 
     if not os.environ.get("AB_NO_EVAL"):
         for name, env in [("head", {}),
-                          ("fwd_wide0", {"RESUNETA_CONVSEG_FWD_WIDE": "0"})]:
+                          ("fwd_wide1", {"RESUNETA_CONVSEG_FWD_WIDE": "1"})]:
             n, bs, ps = 64, 16, 256
             dev_ms = eval_dev_ms(ps, bs, n, env)
             emit({"row": f"eval256 {name}", "device_ms_per_grid":
