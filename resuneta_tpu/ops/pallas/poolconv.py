@@ -45,7 +45,12 @@ except Exception:  # pragma: no cover
 
 import os as _os
 
-_VMEM_BUDGET = int(_os.environ.get("RESUNETA_POOLCONV_VMEM_BUDGET", int(11e6)))
+# Round 5: 12e6 (from 11e6) admits the 512px k=4 PSP level at tile=32
+# (11.60 MB) and the 256px k=8 level at tile=64 — their reshape-max
+# fallbacks were ~8 ms of T(4,128) retiles in the 512px profile
+# (BENCH_NOTES round 5). Hardware-verified to compile under the 16 MB
+# scoped-VMEM limit.
+_VMEM_BUDGET = int(_os.environ.get("RESUNETA_POOLCONV_VMEM_BUDGET", int(12e6)))
 
 
 def _group(C, cout, k):
