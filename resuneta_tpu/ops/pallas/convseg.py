@@ -131,6 +131,32 @@ def _plan(H, W, C, d, bwd=False):
                 if H % tile == 0 and need <= budget:
                     return tile, nbuf, win, pad
                 tile //= 2
+        # Fallback tier (round 5): lanes past the calibrated search's reach
+        # (1024px shallow levels, W*C = 32768) — ONE window slot (what the
+        # nbuf=1 kernel actually allocates) and the physically zero-padded
+        # window (tile + 2*dup rows, no 16-row alignment rounding). Only
+        # reachable when the loop above found nothing, so every
+        # hardware-calibrated plan at lanes <= 16384 is untouched; this is
+        # what puts the 1024px d={1,3} segments (and with them the dense
+        # trunk) on the fused path instead of unfused remat XLA
+        # (BENCH_NOTES round 5: the 1024px profile was 43% elementwise
+        # recompute + 27% relayouts with zero segment kernels). The tier's
+        # own budget is hardware-calibrated TIGHTER than the single-buffer
+        # line: the d=15 win=40 backward (est 6.88 MB) crashes the remote
+        # Mosaic compile helper at lanes=32768 while the win=24 plans
+        # (est 5.83 MB) compile and run — 6.4e6 admits exactly the verified
+        # class; d>=15 branches take the mixed-dense NHWC fallback.
+        dup = _dup(d)
+        tile = 128
+        while tile >= 8:
+            win, pad = tile + 2 * dup, max(dup, 8)
+            need = (win * lanes * 2
+                    + 3 * tile * lanes * 4
+                    + tile * lanes * 2
+                    + 9 * B * B * 4)
+            if H % tile == 0 and need <= min(_VMEM_BUDGET_SINGLE, int(6.4e6)):
+                return tile, 1, win, pad
+            tile //= 2
         return None
     dup = _dup(d)
     taps = 9 * B * B * 2 + (9 * B * B * 4 if bwd else 0)  # bf16 taps [+f32 dw]

@@ -94,6 +94,29 @@ class TestConvSeg:
         assert convseg._plan(16, 16, 512, 1) is not None
         assert convseg._plan(16, 16, 512, 1, bwd=True) is None
 
+    def test_fallback_tier_padded_single_buffer(self, monkeypatch):
+        """Round-5 narrow-tier fallback (1024px lanes=32768 analog): when the
+        calibrated double/single-buffer search finds nothing, the planner
+        falls back to a single-slot, physically zero-padded window. Forced
+        here at a small geometry by shrinking the budgets; numerics must
+        match the XLA composition exactly like every other plan."""
+        monkeypatch.setattr(convseg, "_VMEM_BUDGET", int(6.9e5))
+        monkeypatch.setattr(convseg, "_VMEM_BUDGET_SINGLE", int(7.0e5))
+        N, H, W, C, d = 1, 64, 64, 8, 3
+        plan = convseg._plan(H, W, C, d)
+        assert plan is not None and plan[1] == 1 and plan[3] > 0, plan
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.5 + 1
+        b = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.2
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(C), jnp.float32) * 0.1
+        ref = np.asarray(_reference(x, a, b, w, bias, d, True), np.float32)
+        got = np.asarray(convseg.bn_act_conv_pallas(
+            x, a, b, w, bias, dilation=d, act=True, interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
     def test_large_dilation_border(self):
         # d comparable to tile: halo correctness at image borders
         rng = np.random.default_rng(9)

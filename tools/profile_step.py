@@ -34,8 +34,11 @@ def capture(outdir):
     pipeline = make_device_pipeline(num_classes, norm_type=1, multitasking=True)
     loss_fns = make_losses("tanimoto")
     weights = {"seg": 1.0, "bound": 1.0, "dist": 1.0, "color": 1.0}
+    # BENCH_REMAT=1: match bench.py's 1024px row (SAVE_CONVS remat — the
+    # unrematerialized 1024px step does not fit HBM)
     train_step = make_train_step(loss_fns, weights, multitasking=True,
-                                 preprocess=pipeline)
+                                 preprocess=pipeline,
+                                 remat=os.environ.get("BENCH_REMAT") == "1")
     rng = np.random.default_rng(0)
     batch = {
         "image_u8": jnp.asarray(rng.integers(0, 256, (bs, ps, ps, 3), dtype=np.uint8)),
