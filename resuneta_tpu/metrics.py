@@ -15,10 +15,29 @@ import numpy as np
 
 # ---------------- on-device (jit) ----------------
 
+def _argmax_lastc(x):
+    """jnp.argmax(x, axis=-1) with identical first-max-wins tie semantics,
+    unrolled over the class axis for small C: per-class elementwise
+    compare/select planes instead of XLA's index-carrying reduce — whose
+    layout assignment on narrow-lane inputs turned the two metric argmaxes
+    into 61 ms ops EACH at 1024px (12% of that step; BENCH_NOTES round 5).
+    Falls back to jnp.argmax past C=8 (reduction wins again there)."""
+    C = x.shape[-1]
+    if C > 8:
+        return jnp.argmax(x, axis=-1)
+    best = x[..., 0]
+    idx = jnp.zeros(x.shape[:-1], jnp.int32)
+    for c in range(1, C):
+        take = x[..., c] > best
+        best = jnp.where(take, x[..., c], best)
+        idx = jnp.where(take, jnp.int32(c), idx)
+    return idx
+
+
 def categorical_accuracy(y_true, y_pred):
     """Keras 'accuracy' for softmax outputs vs one-hot labels."""
     return jnp.mean(
-        (jnp.argmax(y_true, axis=-1) == jnp.argmax(y_pred, axis=-1)).astype(jnp.float32)
+        (_argmax_lastc(y_true) == _argmax_lastc(y_pred)).astype(jnp.float32)
     )
 
 
